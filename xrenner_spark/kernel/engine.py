@@ -1,0 +1,276 @@
+"""Document analysis orchestration: the per-document kernel entry point.
+
+``analyze_document`` reproduces the reference's analysis lifecycle
+(reference xrenner/modules/xrenner_xrenner.py:76-277 analyze +
+:397-706 process_sentence) as a pure function of (conllu text, LexModel):
+parse -> per-sentence preprocessing -> markable candidates -> entity
+classification -> coreference cascade -> verbal antecedents ->
+postprocessing, returning plain-dict rows ready for Arrow serialization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from . import parsing
+from .classes import DocState, Markable
+from .compat import stems_compatible
+from .corefer import antecedent_prohibited, find_antecedent
+from .entities import analyze_markable, assign_coordinate_entity
+from .mentions import (is_atomic, make_markable, pos_func_combo,
+                       recognize_entity_by_mod, stoplist_prefix_tokens)
+
+
+class DocResult:
+    """Kernel output for one document."""
+
+    __slots__ = ("doc_id", "tokens", "mentions", "n_sentences", "n_tokens")
+
+    def __init__(self, doc_id, tokens, mentions, n_sentences, n_tokens):
+        self.doc_id = doc_id
+        self.tokens = tokens        # list of dict rows
+        self.mentions = mentions    # list of dict rows
+        self.n_sentences = n_sentences
+        self.n_tokens = n_tokens
+
+
+def analyze_document(doc_id: str, conllu_text: str, lex) -> DocResult:
+    doc = parsing.read_document(conllu_text, lex)
+    f = lex.filters
+
+    tokoffset = 0
+    for sentence in doc.sentences:
+        tokoffset = sentence.start_offset
+        _process_sentence(doc, tokoffset, sentence)
+
+    # verbal antecedents for unresolved definite event/abstract mentions
+    # (reference xrenner_xrenner.py:234-265)
+    marks_to_add = []
+    if f["seek_verb_for_defs"]:
+        for mark in doc.markables:
+            if mark.definiteness == "def" and mark.antecedent is None \
+                    and mark.form == "common" and \
+                    (f["event_def_entity"] == mark.entity
+                     or f["abstract_def_entity"] == mark.entity):
+                for tok in doc.tokens[0:mark.start]:
+                    if f["verb_head_pos"].match(tok.pos) and \
+                            stems_compatible(tok, mark.head, lex):
+                        v_antecedent = make_markable(
+                            tok, doc, {}, tok.sentence.start_offset, tok.sentence,
+                            [], len(doc.tokens) - 1)
+                        mark.antecedent = v_antecedent
+                        mark.coref_type = "coref"
+                        v_antecedent.entity = mark.entity
+                        v_antecedent.subclass = mark.subclass
+                        v_antecedent.definiteness = "none"
+                        v_antecedent.form = "verbal"
+                        v_antecedent.infstat = "new"
+                        v_antecedent.group = mark.group
+                        v_antecedent.id = -tok.tid  # stable unique id
+                        marks_to_add.append(v_antecedent)
+    for mark in marks_to_add:
+        doc.markstart.setdefault(mark.start, []).append(mark)
+        doc.markend.setdefault(mark.end, []).append(mark)
+        doc.markables_by_head[str(mark.head.tid)] = mark
+        doc.markables.append(mark)
+
+    from .postprocess import postprocess_coref
+    postprocess_coref(doc)
+
+    return _serialize(doc_id, doc)
+
+
+# ----------------------------------------------------------------------
+
+def _process_sentence(doc: DocState, tokoffset: int, sentence):
+    lex = doc.lex
+    f = lex.filters
+    upto = tokoffset + sentence.token_count  # last token id of this sentence
+    upto = min(upto, len(doc.tokens) - 1)
+    toks = doc.tokens
+
+    parsing.add_child_info(doc, upto)
+    parsing.add_negated_parents(doc, tokoffset, upto)
+    parsing.set_positions(doc, tokoffset, upto, sentence)
+    parsing.replace_conj_func(doc, tokoffset, upto)
+    parsing.attach_modifiers_and_learn_hasa(doc, tokoffset, upto)
+    stop_ids = parsing.find_stop_zones(doc, tokoffset, upto)
+    parsing.build_descendants(doc, tokoffset, upto)
+    descendants = doc.descendants
+
+    def is_head_candidate(tok):
+        return ((f["mark_head_pos"].match(tok.pos) is not None
+                 and f["mark_forbidden_func"].match(tok.func) is None)
+                or pos_func_combo(tok.pos, tok.func, f["pos_func_heads"]))
+
+    def is_eligible_submark_head(tok):
+        return (f["mark_head_pos"].match(tok.pos) is not None
+                and f["mark_forbidden_func"].match(tok.func) is None)
+
+    mark_candidates: Dict[str, Markable] = {}
+    keys_to_pop: List = []
+
+    for tok in toks[tokoffset + 1:upto + 1]:
+        if not (is_head_candidate(tok) and not stop_ids[tok.tid]):
+            continue
+        mark = make_markable(tok, doc, descendants, tokoffset, sentence,
+                             keys_to_pop, upto)
+        mark_candidates[str(tok.tid)] = mark
+
+        # coordination: a small markable for the first conjunct plus a big
+        # composite envelope (reference xrenner_xrenner.py:564-613)
+        submark_id = ""
+        submarks = []
+        cardi = 0
+        for child_id in doc.children.get(tok.tid, []):
+            child = toks[child_id]
+            if child.coordinate:
+                if child.tid in descendants:
+                    for sub_desc in descendants[child.tid]:
+                        if tok.tid in descendants and sub_desc in descendants[tok.tid]:
+                            descendants[tok.tid].remove(sub_desc)
+                if tok.tid in descendants and child.tid in descendants[tok.tid]:
+                    descendants[tok.tid].remove(child.tid)
+                submark_id += "_" + str(child.tid)
+                cardi += 1
+                submarks.append(child.tid)
+        if submarks:
+            submarks.append(tok.tid)
+            for child_id in doc.children.get(tok.tid, []):
+                child = toks[child_id]
+                if f["coord_func"].match(child.func):
+                    if child.tid in descendants.get(tok.tid, []):
+                        descendants[tok.tid].remove(child.tid)
+            big = mark_candidates[str(tok.tid)]
+            big.cardinality = cardi + 1
+            small = make_markable(tok, doc, descendants, tokoffset, sentence,
+                                  keys_to_pop, upto)
+            big.submarks = submarks[:]
+            if f["aggregate_agree"] != "_":
+                big.agree = f["aggregate_agree"]
+                big.agree_certainty = "coordinate_aggregate_plural"
+                big.coordinate = True
+            if all(is_eligible_submark_head(toks[m]) for m in big.submarks):
+                mark_candidates[str(tok.tid) + submark_id] = big
+            mark_candidates[str(tok.tid)] = small
+
+    # atomicity: atomic spans suppress nested candidates
+    # (reference xrenner_xrenner.py:616-637)
+    for mark_id, mark in mark_candidates.items():
+        if mark.end > mark.start:
+            mod_hit = recognize_entity_by_mod(mark, lex, True)
+            mod_atomic = mod_hit is not None and mod_hit[2]
+            if is_atomic(mark, lex) or (mod_atomic and "_" not in mark_id):
+                for key in mark_candidates:
+                    if key != str(mark.head.tid) and "_" not in key \
+                            and mark.start <= int(key) <= mark.end:
+                        if f["pronoun_pos"].match(toks[int(key)].pos) is None:
+                            keys_to_pop.append(key)
+            elif mod_hit is not None:
+                stoplist_prefix_tokens(mark, lex.entity_mods, keys_to_pop)
+        if mark.text + "@" in lex.stop_list:
+            keys_to_pop.append(mark_id)
+
+    for key in keys_to_pop:
+        mark_candidates.pop(str(key), None)
+
+    # classify and register markables
+    processed_marks = len(doc.markables)
+    for mark_id, cand in mark_candidates.items():
+        analyze_markable(cand, doc)
+        doc.markcounter += 1
+        doc.groupcounter += 1
+        markable = Markable(
+            doc.markcounter, cand.head, cand.form, cand.definiteness, cand.start,
+            cand.end, cand.text, cand.core_text, cand.entity, cand.entity_certainty,
+            cand.subclass, "new", cand.agree, cand.sentence, None, "none",
+            doc.groupcounter, cand.alt_entities, cand.alt_subclasses, cand.alt_agree,
+            cand.cardinality, cand.submarks, cand.coordinate, cand.agree_certainty)
+        markable.fill_dep_scores(lex, doc)
+        doc.markables.append(markable)
+        doc.markables_by_head[mark_id] = markable
+        doc.markstart.setdefault(markable.start, []).append(markable)
+        doc.markend.setdefault(markable.end, []).append(markable)
+
+    # coreference pass over this sentence's markables
+    # (reference xrenner_xrenner.py:657-702)
+    for current in doc.markables[processed_marks:]:
+        if current.submarks:
+            assign_coordinate_entity(current, doc.markables_by_head)
+        if antecedent_prohibited(current, doc, lex) or \
+                (current.definiteness == "indef"
+                 and f["apposition_func"].match(current.head.func) is None
+                 and not f["allow_indef_anaphor"]):
+            antecedent, propagation = None, None
+        elif current.definiteness == "indef" \
+                and f["apposition_func"].match(current.head.func) is not None \
+                and not f["allow_indef_anaphor"]:
+            antecedent, propagation = find_antecedent(current, doc, lex, "appos")
+        else:
+            antecedent, propagation = find_antecedent(current, doc, lex)
+        if antecedent is not None:
+            if antecedent.head.tid < current.head.tid or "invert" in (propagation or ""):
+                if "invert" in (propagation or ""):
+                    antecedent, current = current, antecedent
+                current.antecedent = antecedent
+                current.group = antecedent.group
+                if f["apposition_func"].match(current.head.func) is not None \
+                        and current.sentence.sent_num == antecedent.sentence.sent_num:
+                    current.coref_type = "appos"
+                elif current.form == "pronoun":
+                    current.coref_type = "ana"
+                elif current.coref_type == "none":
+                    current.coref_type = "coref"
+                current.infstat = "giv"
+            else:  # cataphoric: group flows backwards
+                current.antecedent = antecedent
+                antecedent.group = current.group
+                current.coref_type = "cata"
+                current.infstat = "new"
+        elif current.form == "pronoun":
+            current.infstat = "acc"
+        else:
+            current.infstat = "new"
+
+        if current.agree is not None and current.agree != "":
+            doc.last[current.agree] = current
+
+
+# ----------------------------------------------------------------------
+
+def _serialize(doc_id: str, doc: DocState) -> DocResult:
+    token_rows = []
+    for tok in doc.tokens[1:]:
+        token_rows.append({
+            "doc_id": doc_id, "tid": tok.tid, "text": tok.text,
+            "lemma": tok.lemma, "pos": tok.pos, "morph": tok.morph,
+            "head": tok.head, "func": tok.func,
+            "sent_num": tok.sentence.sent_num, "quoted": tok.quoted,
+            "negated": tok.negated,
+        })
+    mention_rows = []
+    for mark in doc.markables:
+        ante = mark.antecedent
+        mention_rows.append({
+            "doc_id": doc_id,
+            "mark_id": "%d_%d" % (mark.start, mark.end),
+            "start": mark.start, "end": mark.end,
+            "text": mark.text, "core_text": mark.core_text,
+            "entity": mark.entity, "subclass": mark.subclass,
+            "agree": mark.agree if mark.agree is not None else "",
+            "form": mark.form, "definiteness": mark.definiteness,
+            "cardinality": float(mark.cardinality),
+            "group_id": int(mark.group),
+            "coref_type": mark.coref_type,
+            "antecedent": "%d_%d" % (ante.start, ante.end) if ante is not None else "",
+            "infstat": mark.infstat,
+            "head_id": mark.head.tid,
+            "head_func": mark.head.func,
+            "head_lemma": mark.head.lemma,
+            "head_parent": mark.head.head,
+            "sent_num": mark.sentence.sent_num,
+            "coordinate": mark.coordinate,
+            "submarks": [int(s) for s in mark.submarks],
+        })
+    return DocResult(doc_id, token_rows, mention_rows,
+                     len(doc.sentences), len(doc.tokens) - 1)

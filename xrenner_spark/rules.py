@@ -1,0 +1,248 @@
+"""Compiler + evaluator for the coreference-rule constraint mini-language.
+
+This mini-language (documented in the reference's coref_rules.tab contract,
+reference xrenner/modules/xrenner_rule.py:3-217) is the *query language* of
+the rule engine: every rule is
+``ana_spec;ante_spec;max_sent_distance;propagation[;clf[;thresh]]`` where
+each spec is an ``&``-joined list of constraints:
+
+* ``key="literal"`` / ``key=/regex/`` / ``key=value``  — property tests
+  (regexes that only add anchors are specialized to exact / startswith /
+  endswith string ops at compile time);
+* ``key!=...``                                        — negation;
+* ``key=$1``                                          — anaphor-relative
+  tests (``head=$1``, ``child=$1``, ``hasa=$1``, ``mod=$1``, plus any
+  plain property compared against the anaphor's value);
+* ``sameparent`` / ``samespeaker`` / ``samesentence`` (optionally ``!``);
+* ``last[agree]``                                     — most recent
+  markable of an agreement class carries the same entity;
+* ``has_child_func=x``                                — dependency child
+  function membership;
+* trailing ``*``                                      — on failure,
+  blacklist the anaphor's group for this candidate (and vice versa);
+* directives ``none|anytext|anyagree|anycardinality|anyentity|lookahead|
+  takefirst``                                         — match-anything
+  markers interpreted by the antecedent search.
+
+Rules are compiled once on the driver and shipped inside the broadcast
+LexModel; evaluation happens inside the per-document kernel.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+
+class CorefRule:
+    """One compiled line of coref_rules.tab."""
+
+    def __init__(self, rule_string: str, rule_num: int, thresh: Optional[float] = None):
+        if not 3 <= rule_string.count(";") <= 5:
+            raise ValueError("coref rule needs 3-5 semicolons: " + rule_string)
+        parts = rule_string.split(";")
+        self.ana_spec, self.ante_spec = parts[0], parts[1]
+        self.max_distance = int(parts[2])
+        self.propagation = parts[3]
+        self.clf_name = parts[4] if len(parts) > 4 else "_default_"
+        self.thresh = float(parts[5]) if len(parts) == 6 else thresh
+        self.ana_constraints = [Constraint(c) for c in self.ana_spec.split("&")]
+        self.ante_constraints = [Constraint(c) for c in self.ante_spec.split("&")]
+        # evaluate group-blacklisting constraints first so their side
+        # effects fire even when a later constraint would short-circuit
+        self.ante_constraints.sort(key=lambda c: c.group_failure, reverse=True)
+        self.rule_num = rule_num
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.ana_spec} -> {self.ante_spec} ({self.max_distance}, {self.propagation})"
+
+
+#: markable properties addressable from a constraint
+PROPS = frozenset({"form", "text", "agree", "entity", "subclass", "cardinality",
+                   "text_lower", "lemma", "pos", "func", "quoted", "mood",
+                   "speaker", "sentence"})
+
+_EXACT, _STARTS, _ENDS, _REGEX, _BOOL, _DOLLAR, _SUBSTR, _ANY = (
+    "exact", "startswith", "endswith", "regex", "bool", "dollar", "substring", "any")
+
+
+class Constraint:
+    """One compiled constraint; ``check(mark, lex, doc, anaphor)`` evaluates it."""
+
+    def __init__(self, spec: str):
+        self.group_failure = spec.endswith("*")
+        if self.group_failure:
+            spec = spec[:-1]
+        self.negated = False
+        self.key = ""
+        self.value = ""
+        self.kind = _EXACT
+        self.pattern = None
+
+        if "=" in spec:
+            key, value = spec.split("=", 1)
+            if key.endswith("!"):
+                self.negated = True
+                key = key[:-1]
+            self.key = key
+            if value.startswith('"') and value.endswith('"'):
+                self.value = value[1:-1]
+            elif value.startswith("/") and value.endswith("/"):
+                self._compile_regex(value[1:-1])
+            elif value.lower() == "true":
+                self.kind, self.value = _BOOL, True
+            elif value.lower() == "false":
+                self.kind, self.value = _BOOL, False
+            elif value.startswith("$"):
+                self.kind, self.value = _DOLLAR, value
+            else:
+                self.value = value
+            if self.key == "has_child_func":
+                self.kind = _SUBSTR
+                if not str(self.value).startswith(";"):
+                    self.value = ";" + str(self.value) + ";"
+        elif spec == "none" or spec.startswith(("any", "look", "take")):
+            self.kind = _ANY
+        elif "sameparent" in spec or "samespeaker" in spec or "samesentence" in spec:
+            self.negated = spec.startswith("!")
+            self.kind, self.value = _DOLLAR, "$1"
+            self.key = ("parent" if "parent" in spec
+                        else "speaker" if "speaker" in spec else "sentence")
+        elif spec.startswith("last["):
+            self.key = "LAST"
+            self.value = spec[spec.find("[") + 1:-1]
+
+    def _compile_regex(self, value: str):
+        """Specialize anchor-only regexes into plain string predicates
+        (reference xrenner_rule.py:56-73)."""
+        if re.escape(value) == value:
+            self.kind, self.value = _EXACT, value
+        elif value.startswith("^") and value.endswith("$") and re.escape(value[1:-1]) == value[1:-1]:
+            self.kind, self.value = _EXACT, value[1:-1]
+        elif value.startswith("^") and re.escape(value[1:]) == value[1:]:
+            self.kind, self.value = _STARTS, value[1:]
+        elif value.endswith("$") and re.escape(value[:-1]) == value[:-1]:
+            self.kind, self.value = _ENDS, value[:-1]
+        else:
+            self.kind = _REGEX
+            self.value = value
+            self.pattern = re.compile(value)
+
+    def __repr__(self):  # pragma: no cover
+        neg = "!" if self.negated else ""
+        return f"{self.key} {neg}{self.kind} {self.value!r}"
+
+    # ------------------------------------------------------------------
+    def check(self, mark, lex, doc, anaphor=None) -> bool:
+        """Evaluate against ``mark`` (with ``anaphor`` for $-relative tests).
+
+        ``doc`` carries document-scoped state: the dynamic hasa overlay and
+        the per-agreement-class ``last`` register.
+        """
+        op = (lambda v: not v) if self.negated else bool
+        result = self._eval(mark, lex, doc, anaphor, op)
+        if result is False and self.group_failure and anaphor is not None:
+            mark.non_antecdent_groups.add(anaphor.group)
+        return result
+
+    def _eval(self, mark, lex, doc, anaphor, op) -> bool:
+        kind, key = self.kind, self.key
+
+        if kind == _ANY:
+            return True
+
+        if kind == _DOLLAR:
+            if key in PROPS:
+                want = str(mark_prop(anaphor, key))
+                have = str(mark_prop(mark, key))
+                return op(have == want)
+            if key == "head":
+                return op(anaphor.head.tid == mark.head.head)
+            if key == "child":
+                return op(anaphor.head.head == mark.head.tid)
+            if key == "hasa":
+                return op(anaphor.head.head_text in doc.hasa_possessed(mark.head.lemma))
+            if key == "parent":
+                if mark.head.head == 0 or mark.sentence.sent_num != anaphor.sentence.sent_num:
+                    result = op(False)
+                else:
+                    result = op(anaphor.head.head == mark.head.head)
+                if result is False and self.group_failure and anaphor is not None:
+                    mark.non_antecdent_groups.add(anaphor.group)
+                    anaphor.non_antecdent_groups.add(mark.group)
+                return result
+            if key == "mod":
+                anaphor_mods = anaphor.head.modifiers
+                det_re = lex.filters["det_func"]
+                for mod1 in mark.head.modifiers:
+                    for mod2 in anaphor_mods:
+                        if (mod1.lemma == mod2.lemma
+                                and det_re.match(mod1.func) is None
+                                and det_re.match(mod2.func) is None):
+                            return True
+                if self.group_failure and anaphor is not None:
+                    mark.non_antecdent_groups.add(anaphor.group)
+                return False
+            raise ValueError("unsupported $-constraint key: " + key)
+
+        if key == "LAST":
+            last_mark = doc.last.get(self.value)
+            if last_mark is None:
+                return False
+            return op(last_mark.entity == mark.entity)
+
+        if key == "mod":
+            det_re = lex.filters["det_func"]
+            for mod1 in mark.head.modifiers:
+                if mod1.lemma == self.value and det_re.match(mod1.func) is None:
+                    return True
+            if self.group_failure and anaphor is not None:
+                mark.non_antecdent_groups.add(anaphor.group)
+            return False
+
+        if key in PROPS or key == "has_child_func":
+            if key == "has_child_func":
+                test_val = mark.child_func_string
+            elif kind == _BOOL:
+                test_val = mark_prop(mark, key)
+            else:
+                test_val = str(mark_prop(mark, key))
+        else:
+            raise ValueError("unsupported constraint key: " + key)
+
+        if kind == _EXACT:
+            return op(test_val == self.value)
+        if kind == _SUBSTR:
+            return op(self.value in test_val)
+        if kind == _REGEX:
+            return op(self.pattern.search(test_val) is not None)
+        if kind == _STARTS:
+            return op(test_val.startswith(self.value))
+        if kind == _ENDS:
+            return op(test_val.endswith(self.value))
+        if kind == _BOOL:
+            return op(test_val == self.value)
+        return op(False)
+
+
+def mark_prop(mark, key: str):
+    """Resolve a constraint property on a markable; head-token and sentence
+    attributes are delegated the way the reference's Markable.__getattr__
+    does (xrenner_classes.py:266-287)."""
+    if key == "sentence":
+        return "S%d@%d" % (mark.sentence.sent_num, mark.sentence.start_offset)
+    if key in ("mood", "speaker"):
+        return getattr(mark.sentence, key)
+    if key in ("lemma", "pos", "func", "quoted"):
+        return getattr(mark.head, key)
+    if key == "text_lower":
+        return mark.core_text.lower() if mark.coordinate else mark.head.text_lower
+    return getattr(mark, key)
+
+
+def rule_applies(constraints: List[Constraint], mark, lex, doc, anaphor=None) -> bool:
+    """All constraints hold (reference xrenner_coref.py:166-179)."""
+    for constraint in constraints:
+        if not constraint.check(mark, lex, doc, anaphor):
+            return False
+    return True
