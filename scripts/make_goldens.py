@@ -74,5 +74,24 @@ def main():
         print("%-28s %3d mentions" % (name, len(mentions)))
 
 
+def corpus_goldens(n_docs=80):
+    """Reference mentions for the first n synthetic corpus documents —
+    the triple-P/R oracle fixture."""
+    sys.path.insert(0, REPO)
+    from xrenner_spark.corpus import build_document
+    out = {}
+    for doc_id in range(n_docs):
+        doc = build_document(doc_id)
+        out[str(doc_id)] = {"mentions": dump_document(doc["conllu"])}
+    out_path = os.path.join(REPO, "tests/fixtures/goldens_corpus.json")
+    with io.open(out_path, "w", encoding="utf8") as fh:
+        json.dump(out, fh, ensure_ascii=False)
+    n_mentions = sum(len(v["mentions"]) for v in out.values())
+    print("corpus goldens: %d docs, %d mentions -> %s" % (n_docs, n_mentions, out_path))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "corpus":
+        corpus_goldens(int(sys.argv[2]) if len(sys.argv) > 2 else 80)
+    else:
+        main()
