@@ -1,0 +1,350 @@
+"""The Spark KG-construction pipeline.
+
+Stage graph (SURVEY.md §3.4):
+
+    pages (url, warc_ts, html, text, lang)
+      │  salted repartition by xxhash64(url)            [defeats url skew]
+      ▼
+    stage 1  extract: mapInPandas html→(text, conllu); byte-identity check
+      │  checkpoint: table stage_extract + _lineage_extract
+      ▼
+    stage 2  kernel: mapInPandas per-document mention/entity/coref kernel
+      │  one row per doc: mentions array + verbs array + kernel_ms
+      │  checkpoint: table stage_kernel + _lineage_kernel
+      ▼
+    stage 3  SQL: explode → mentions/verbs; chains groupBy(url, group_id)
+             with canonicalization agg; verb-argument join → triples
+      ▼
+    triples table (+ chains table)
+
+Every stage is resumable: if its checkpoint table exists (same run_dir),
+it is read back instead of recomputed, so a killed job restarted with the
+same warehouse continues where it left off and produces byte-identical
+triples (verified in tests/test_pipeline_spark.py).
+
+All per-row Python lives inside mapInPandas batch loops (Arrow in/out);
+the rule/gazetteer bundle is broadcast once per executor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import Catalog
+from .kernel import analyze_document
+from .lex import load_lex
+from .triples import parse_verbs
+
+# ---------------------------------------------------------------------
+# schemas
+# ---------------------------------------------------------------------
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("conllu", T.StringType()),
+    T.StructField("text_sha256", T.StringType()),
+    T.StructField("byte_identical", T.BooleanType()),
+    T.StructField("part_id", T.IntegerType()),
+])
+
+MENTION_STRUCT = T.StructType([
+    T.StructField("mark_id", T.StringType()),
+    T.StructField("start", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("core_text", T.StringType()),
+    T.StructField("entity", T.StringType()),
+    T.StructField("subclass", T.StringType()),
+    T.StructField("agree", T.StringType()),
+    T.StructField("form", T.StringType()),
+    T.StructField("definiteness", T.StringType()),
+    T.StructField("cardinality", T.DoubleType()),
+    T.StructField("group_id", T.LongType()),
+    T.StructField("coref_type", T.StringType()),
+    T.StructField("antecedent", T.StringType()),
+    T.StructField("infstat", T.StringType()),
+    T.StructField("head_id", T.IntegerType()),
+    T.StructField("head_func", T.StringType()),
+    T.StructField("head_lemma", T.StringType()),
+    T.StructField("head_parent", T.IntegerType()),
+    T.StructField("sent_num", T.IntegerType()),
+    T.StructField("coordinate", T.BooleanType()),
+])
+
+VERB_STRUCT = T.StructType([
+    T.StructField("tid", T.IntegerType()),
+    T.StructField("lemma", T.StringType()),
+])
+
+KERNEL_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("text_sha256", T.StringType()),
+    T.StructField("n_sentences", T.IntegerType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("kernel_ms", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+    T.StructField("part_id", T.IntegerType()),
+    T.StructField("mentions", T.ArrayType(MENTION_STRUCT)),
+    T.StructField("verbs", T.ArrayType(VERB_STRUCT)),
+])
+
+_MENTION_FIELDS = [f.name for f in MENTION_STRUCT.fields]
+
+
+# ---------------------------------------------------------------------
+# page generation (synthetic Common-Crawl-style input)
+# ---------------------------------------------------------------------
+
+def generate_pages(spark: SparkSession, n_docs: int, partitions: int = None) -> DataFrame:
+    """Distributed deterministic corpus: each task builds its own pages
+    from doc ids — no driver-side materialization."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    def build(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_page
+        for pdf in iterator:
+            pages = [build_page(int(doc_id)) for doc_id in pdf["id"]]
+            yield pd.DataFrame(pages, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return (spark.range(0, n_docs, numPartitions=partitions)
+            .mapInPandas(build, schema=PAGES_SCHEMA))
+
+
+def salt_by_url(df: DataFrame, partitions: int) -> DataFrame:
+    """Repartition on a url hash so giant-host key runs cannot pile onto
+    one task (north rule: explicit skew handling)."""
+    return df.repartition(partitions, F.pmod(F.xxhash64("url"), F.lit(partitions)))
+
+
+# ---------------------------------------------------------------------
+# stage 1: html -> text/conllu extraction
+# ---------------------------------------------------------------------
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    def extract(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import extract_conllu, extract_text
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        for pdf in iterator:
+            texts, conllus, shas, ok = [], [], [], []
+            for html, text in zip(pdf["html"], pdf["text"]):
+                try:
+                    extracted = extract_text(html)
+                    conllu = extract_conllu(html)
+                except Exception:
+                    extracted, conllu = "", ""
+                texts.append(extracted)
+                conllus.append(conllu)
+                shas.append(hashlib.sha256(extracted.encode("utf8")).hexdigest())
+                # the per-row invariant: extraction is byte-identical to the
+                # table's text column
+                ok.append(extracted == text)
+            out = pd.DataFrame({
+                "url": pdf["url"], "warc_ts": pdf["warc_ts"], "lang": pdf["lang"],
+                "text": texts, "conllu": conllus, "text_sha256": shas,
+                "byte_identical": ok, "part_id": part_id,
+            })
+            yield out
+
+    return pages.mapInPandas(extract, schema=EXTRACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# stage 2: the per-document kernel
+# ---------------------------------------------------------------------
+
+def kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = lex_broadcast.value
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        for pdf in iterator:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                t0 = time.perf_counter()
+                try:
+                    result = analyze_document(rec.url, rec.conllu, lex)
+                    mentions = [tuple(m[k] for k in _MENTION_FIELDS)
+                                for m in result.mentions]
+                    verbs = sorted(parse_verbs(rec.conllu).items())
+                    n_sent, n_tok = result.n_sentences, result.n_tokens
+                    error = ""
+                except Exception as exc:  # per-doc isolation: one bad page
+                    mentions, verbs = [], []          # must not kill the job
+                    n_sent = n_tok = 0
+                    error = repr(exc)[:500]
+                rows.append({
+                    "url": rec.url, "warc_ts": rec.warc_ts, "lang": rec.lang,
+                    "text_sha256": rec.text_sha256,
+                    "n_sentences": n_sent, "n_tokens": n_tok,
+                    "kernel_ms": (time.perf_counter() - t0) * 1000.0,
+                    "error": error, "part_id": part_id,
+                    "mentions": mentions, "verbs": verbs,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in KERNEL_SCHEMA.fields])
+
+    return extracted.mapInPandas(run, schema=KERNEL_SCHEMA)
+
+
+def lineage_of(stage_df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition lineage/metrics rows (north rule)."""
+    aggs = [
+        F.count("*").alias("rows_out"),
+        F.min("url").alias("url_min"),
+        F.max("url").alias("url_max"),
+    ]
+    if "kernel_ms" in stage_df.columns:
+        aggs += [F.sum("kernel_ms").alias("wall_ms"),
+                 F.sum(F.size("mentions")).alias("mentions_out"),
+                 F.sum(F.when(F.col("error") != "", 1).otherwise(0)).alias("errors")]
+    if "byte_identical" in stage_df.columns:
+        aggs += [F.sum(F.when(~F.col("byte_identical"), 1).otherwise(0))
+                 .alias("invariant_violations")]
+    return (stage_df.groupBy("part_id")
+            .agg(*aggs)
+            .withColumn("stage", F.lit(stage)))
+
+
+# ---------------------------------------------------------------------
+# stage 3: chains + triples as Spark SQL dataflow
+# ---------------------------------------------------------------------
+
+def chains_stage(kernel_out: DataFrame) -> DataFrame:
+    """Chain aggregation with canonicalization (groupBy + min_by/max_by;
+    same rules as triples.canonical_mentions)."""
+    mentions = mentions_view(kernel_out)
+    return (
+        mentions.groupBy("url", "group_id").agg(
+            F.expr("min_by(core_text, struct(start, end)) "
+                   "FILTER (WHERE form = 'proper')").alias("proper_first"),
+            F.expr("max_by(core_text, struct(length(core_text), -start)) "
+                   "FILTER (WHERE form != 'pronoun')").alias("longest_nominal"),
+            F.expr("min_by(core_text, struct(start, end))").alias("first_any"),
+            F.count("*").alias("n_mentions"),
+            F.expr("min_by(entity, struct(start, end))").alias("entity"),
+            F.collect_list("mark_id").alias("mention_ids"),
+        )
+        .withColumn("canonical_text",
+                    F.coalesce("proper_first", "longest_nominal", "first_any"))
+        .drop("proper_first", "longest_nominal", "first_any")
+    )
+
+
+def mentions_view(kernel_out: DataFrame) -> DataFrame:
+    return (kernel_out
+            .select("url", "warc_ts", F.explode("mentions").alias("m"))
+            .select("url", "warc_ts", "m.*"))
+
+
+def verbs_view(kernel_out: DataFrame) -> DataFrame:
+    return (kernel_out
+            .select("url", F.explode("verbs").alias("v"))
+            .select("url", F.col("v.tid").alias("verb_id"),
+                    F.col("v.lemma").alias("verb_lemma")))
+
+
+def triples_stage(kernel_out: DataFrame, subject_func: str = "^[nc]subj",
+                  object_func: str = "^(obj|dobj|iobj|obl|nmod)$") -> DataFrame:
+    """(subj, pred, obj) emission: role-tagged verb arguments joined back
+    to chain-canonical strings.  All joins are co-keyed on url, so with the
+    upstream url-hash partitioning they stay within the same shuffle
+    partitioning (AQE coalesces post-shuffle)."""
+    mentions = mentions_view(kernel_out)
+    verbs = verbs_view(kernel_out)
+    canon = chains_stage(kernel_out).select(
+        "url", "group_id", "canonical_text", F.col("entity").alias("chain_entity"))
+
+    args = (mentions
+            .withColumn("role",
+                        F.when(F.regexp_like("head_func", F.lit(subject_func)), "subj")
+                        .when(F.regexp_like("head_func", F.lit(object_func)), "obj"))
+            .filter(F.col("role").isNotNull())
+            .join(verbs, (mentions.url == verbs.url)
+                  & (mentions.head_parent == verbs.verb_id), "inner")
+            .drop(verbs.url)
+            .join(canon, ["url", "group_id"], "left"))
+
+    subj = args.filter(F.col("role") == "subj").select(
+        "url", "warc_ts", "verb_id", "verb_lemma",
+        F.col("canonical_text").alias("subj"),
+        F.col("group_id").alias("subj_group"),
+        F.col("chain_entity").alias("subj_entity"),
+        F.col("sent_num").alias("sent_num"),
+        F.col("mark_id").alias("subj_mark"))
+    obj = args.filter(F.col("role") == "obj").select(
+        "url", "verb_id",
+        F.col("canonical_text").alias("obj"),
+        F.col("group_id").alias("obj_group"),
+        F.col("chain_entity").alias("obj_entity"),
+        F.col("mark_id").alias("obj_mark"))
+
+    return (subj.join(obj, ["url", "verb_id"], "inner")
+            .filter(F.col("subj_mark") != F.col("obj_mark"))
+            .select("url", "warc_ts", "subj", F.col("verb_lemma").alias("pred"),
+                    "obj", "subj_group", "obj_group", "subj_entity", "obj_entity",
+                    "sent_num", "verb_id"))
+
+
+# ---------------------------------------------------------------------
+# orchestration with checkpoint/resume
+# ---------------------------------------------------------------------
+
+def run_pipeline(spark: SparkSession, pages: DataFrame, warehouse: str,
+                 partitions: int = None, lex_dir: Optional[str] = None,
+                 resume: bool = True) -> DataFrame:
+    """Full run: returns the triples DataFrame (already persisted).
+
+    With ``resume=True``, stages whose checkpoint tables exist in the
+    warehouse are skipped and read back — kill/rerun produces identical
+    output without recomputing finished stages.
+    """
+    cat = Catalog(spark, warehouse)
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    if resume and cat.exists("stage_extract"):
+        extracted = cat.read("stage_extract")
+    else:
+        extracted = extract_stage(salt_by_url(pages, partitions))
+        cat.write(extracted, "stage_extract")
+        extracted = cat.read("stage_extract")
+        cat.append_lineage("extract", lineage_of(extracted, "extract"))
+
+    if resume and cat.exists("stage_kernel"):
+        kernel_out = cat.read("stage_kernel")
+    else:
+        lex = load_lex(lex_dir)
+        bcast = spark.sparkContext.broadcast(lex)
+        kernel_out = kernel_stage(extracted, bcast)
+        cat.write(kernel_out, "stage_kernel")
+        kernel_out = cat.read("stage_kernel")
+        cat.append_lineage("kernel", lineage_of(kernel_out, "kernel"))
+
+    if resume and cat.exists("triples"):
+        return cat.read("triples")
+    triples = triples_stage(kernel_out)
+    cat.write(triples, "triples")
+    cat.write(chains_stage(kernel_out), "chains")
+    return cat.read("triples")

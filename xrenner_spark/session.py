@@ -1,0 +1,38 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local sandbox runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same settings ship through spark-submit --conf.  Documents are fat rows
+(html + embedded parse), so Arrow batches are kept small
+(maxRecordsPerBatch) to bound executor memory per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "xrenner-spark", cores: int = None,
+              shuffle_partitions: int = None, extra_conf: dict = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cores)
+    builder = (
+        SparkSession.builder
+        .appName(app_name)
+        .master("local[%d]" % cores)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    return builder.getOrCreate()
