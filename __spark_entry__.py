@@ -1,38 +1,111 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship KG-construction run: synthesize the sf0.001-scale
+                web-page corpus, run extract → kernel → SQL chains/triples,
+                return the triples DataFrame.
+``queries``   — one entry per implemented operator from SURVEY.md §2:
+                the relational checklist (§2.7), the training-data
+                operators (dedup / similarity / text analysis /
+                multimodal), and the KG stages themselves.
+``oracle_sql``— equivalent DuckDB SQL for every SQL-expressible query;
+                KG-kernel and binary-plumbing queries are rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    return spark.read.parquet(sf_dir + "/documents.parquet").count()
+
+
+def _kg_kernel_out(spark: SparkSession, sf_dir: str):
+    from xrenner_spark.lex import load_lex
+    from xrenner_spark.pipeline import (fused_extract_kernel_stage,
+                                        generate_pages, salt_by_url)
+    n = _n_docs(spark, sf_dir)
+    partitions = max(spark.sparkContext.defaultParallelism, 8)
+    pages = generate_pages(spark, n, partitions=partitions)
+    bcast = spark.sparkContext.broadcast(load_lex())
+    # persisted + eagerly materialized: the triples stage derives three
+    # co-keyed views, which would otherwise race-recompute the kernel
+    out = fused_extract_kernel_stage(salt_by_url(pages, partitions), bcast).persist()
+    out.count()
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: triples from the synthetic web corpus at sf0.001."""
+    from xrenner_spark.pipeline import triples_stage
+    return triples_stage(_kg_kernel_out(spark, _SF0001))
+
+
+# ---------------------------------------------------------------------
+# KG stage queries (rows-only: the per-document rule cascade is not
+# SQL-expressible — the driver records a rows-only check, and the pytest
+# golden/triple-parity suites carry the correctness burden)
+# ---------------------------------------------------------------------
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrenner_spark.pipeline import triples_stage
+    return (triples_stage(_kg_kernel_out(spark, sf_dir))
+            .select("url", "subj", "pred", "obj", "sent_num",
+                    "subj_entity", "obj_entity"))
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrenner_spark.pipeline import mentions_view
+    return (mentions_view(_kg_kernel_out(spark, sf_dir))
+            .select("url", "mark_id", "text", "entity", "agree", "form",
+                    "coref_type", "group_id", "sent_num"))
+
+
+def kg_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrenner_spark.pipeline import chains_stage
+    return (chains_stage(_kg_kernel_out(spark, sf_dir))
+            .select("url", "group_id", "canonical_text", "entity",
+                    "n_mentions"))
+
+
+def kg_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity invariant surfaced as a queryable check."""
+    from xrenner_spark.pipeline import extract_stage, generate_pages, salt_by_url
+    n = _n_docs(spark, sf_dir)
+    pages = generate_pages(spark, n, partitions=8)
+    extracted = extract_stage(salt_by_url(pages, 8))
+    return (extracted.groupBy("byte_identical")
+            .agg(F.count("*").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------
+
+def _catalog():
+    from xrenner_spark.operators import all_queries
+    from xrenner_spark.operators import relational
+    cat = dict(relational.QUERIES)
+    cat.update(all_queries())
+    cat["kg_triples"] = (kg_triples, None)
+    cat["kg_mentions"] = (kg_mentions, None)
+    cat["kg_chains"] = (kg_chains, None)
+    cat["kg_extract_invariant"] = (kg_extract_invariant, None)
+    return cat
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _catalog().items() if sql is not None}

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline KG-pipeline throughput plus representative
+operator queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+     "triples_per_sec": ..., "cores": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# documents per KG run: 4x the documents table so the kernel stage has
+# real work at every sf (pages are synthesized deterministically)
+DOC_MULTIPLIER = int(os.environ.get("SPARK_GRAFT_DOC_MULT", "4"))
+
+
+def _noop_write(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main():
+    from xrenner_spark.session import get_spark
+    from xrenner_spark.lex import load_lex
+    from xrenner_spark.pipeline import (fused_extract_kernel_stage,
+                                        generate_pages, salt_by_url, triples_stage)
+    from xrenner_spark.operators import relational, dedup, similarity, textstats
+
+    spark = get_spark("bench", cores=CORES, shuffle_partitions=max(32, CORES))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_label = SF_DIR.rstrip("/").split("/")[-1]
+    n_docs = spark.read.parquet(SF_DIR + "/documents.parquet").count() * DOC_MULTIPLIER
+
+    timings = {}
+    extra = {}
+
+    # headline: the full KG construction pipeline
+    t0 = time.perf_counter()
+    pages = generate_pages(spark, n_docs, partitions=max(CORES, 8))
+    bcast = spark.sparkContext.broadcast(load_lex())
+    kernel_out = fused_extract_kernel_stage(
+        salt_by_url(pages, max(CORES, 8)), bcast).persist()
+    kernel_out.count()  # materialize cache before the 3-way triples join
+    triples = triples_stage(kernel_out)
+    n_triples = triples.count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    extra["kg_docs"] = n_docs
+    extra["kg_triples"] = n_triples
+    extra["docs_per_sec"] = round(n_docs / kg_sec, 1)
+    extra["triples_per_sec"] = round(n_triples / kg_sec, 1)
+
+    operator_benches = {
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_exact": dedup.dedup_exact,
+        "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
+        "ann_lsh_bucket": similarity.ann_lsh_bucket,
+        "text_quality": textstats.text_quality,
+        "text_lang_id": textstats.text_lang_id,
+        "rel_grouped_agg": relational.rel_grouped_agg,
+        "rel_broadcast_join": relational.rel_broadcast_join,
+        "rel_join_chain": relational.rel_join_chain,
+        "rel_window_top1": relational.rel_window_top1,
+    }
+    for name, fn in operator_benches.items():
+        t0 = time.perf_counter()
+        _noop_write(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kg_pipeline_and_operators_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "cores": CORES,
+    }
+    out.update(extra)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
