@@ -1,0 +1,65 @@
+"""Sanity tests for the training-data operators at sf0.001 (the DuckDB
+oracle equivalence is exercised separately by scripts/check_oracles.py and
+the driver's correctness gate; these check intrinsic properties)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_candidates_have_high_signature_match(spark):
+    from xrenner_spark.operators.dedup import dedup_minhash_lsh, N_HASHES
+    rows = dedup_minhash_lsh(spark, SF).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        # banded LSH guarantees at least one band (2 hashes) matched
+        assert 2 <= r.sig_matches <= N_HASHES
+
+
+def test_simhash_is_16_bit(spark):
+    from xrenner_spark.operators.dedup import dedup_simhash
+    rows = dedup_simhash(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(0 <= r.simhash16 < 2 ** 16 for r in rows)
+
+
+def test_ann_topk_shape(spark):
+    from xrenner_spark.operators.similarity import (ann_topk_bruteforce,
+                                                    N_QUERIES, TOP_K)
+    rows = ann_topk_bruteforce(spark, SF).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    by_query = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, rs in by_query.items():
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_text_quality_fields(spark):
+    from xrenner_spark.operators.textstats import text_quality
+    rows = text_quality(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r.n_chars > 0 and r.n_words > 0
+        assert 0.0 <= r.stop_ratio <= 1.0
+
+
+def test_multimodal_feature_plumbing(spark):
+    from xrenner_spark.operators.multimodal import extract_features
+    from xrenner_spark.pipeline import generate_pages
+    pages = generate_pages(spark, 20, partitions=2)
+    feats = extract_features(
+        pages.select("url", F.col("html").alias("payload"))).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert sum(r.byte_histogram) == r.n_bytes
+        assert r.mime_guess == "text/html"
+
+
+def test_multimodal_decode_is_stubbed():
+    from xrenner_spark.operators.multimodal import decode_image
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_image(b"\x89PNG not really a png")
