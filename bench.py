@@ -10,7 +10,9 @@ Prints ONE JSON line:
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -42,13 +44,17 @@ def main():
     timings = {}
     extra = {}
 
-    # headline: the full KG construction pipeline
+    # headline: the full KG construction pipeline.  The kernel output is
+    # checkpointed to parquet (the real pipeline shape) rather than
+    # memory-persisted: at 200k docs an in-memory cache caused GC thrash
+    # that poisoned every subsequent query.
+    wh = tempfile.mkdtemp(prefix="xkg_bench_")
     t0 = time.perf_counter()
     pages = generate_pages(spark, n_docs, partitions=max(CORES, 8))
     bcast = spark.sparkContext.broadcast(load_lex())
-    kernel_out = fused_extract_kernel_stage(
-        salt_by_url(pages, max(CORES, 8)), bcast).persist()
-    kernel_out.count()  # materialize cache before the 3-way triples join
+    fused_extract_kernel_stage(
+        salt_by_url(pages, max(CORES, 8)), bcast).write.parquet(wh + "/stage_kernel")
+    kernel_out = spark.read.parquet(wh + "/stage_kernel")
     triples = triples_stage(kernel_out)
     n_triples = triples.count()
     kg_sec = time.perf_counter() - t0
@@ -71,7 +77,9 @@ def main():
         "rel_join_chain": relational.rel_join_chain,
         "rel_window_top1": relational.rel_window_top1,
     }
+    shutil.rmtree(wh, ignore_errors=True)
     for name, fn in operator_benches.items():
+        spark.catalog.clearCache()  # operator-internal caches must not leak
         t0 = time.perf_counter()
         _noop_write(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
