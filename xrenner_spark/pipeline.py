@@ -133,9 +133,15 @@ def generate_pages(spark: SparkSession, n_docs: int, partitions: int = None) -> 
 
 
 def salt_by_url(df: DataFrame, partitions: int) -> DataFrame:
-    """Repartition on a url hash so giant-host key runs cannot pile onto
-    one task (north rule: explicit skew handling)."""
-    return df.repartition(partitions, F.pmod(F.xxhash64("url"), F.lit(partitions)))
+    """Repartition on the url hash so giant-host key runs cannot pile onto
+    one task (north rule: explicit skew handling).
+
+    NB: hash-partitioning on ``pmod(xxhash64(url), partitions)`` is a trap:
+    it yields only ``partitions`` distinct key values, which land in bins
+    like balls-into-bins (measured: 3 of 8 partitions empty, one carrying
+    38% of rows).  Partitioning on the full-width hash keeps placement
+    deterministic by url while spreading uniformly."""
+    return df.repartition(partitions, F.xxhash64("url"))
 
 
 # ---------------------------------------------------------------------
