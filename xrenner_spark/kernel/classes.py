@@ -70,7 +70,23 @@ class Token:
 
 
 class Markable:
-    """A mention span plus its entity/agreement/coref attributes."""
+    """A mention span plus its entity/agreement/coref attributes.
+
+    __slots__ keeps the per-document hot loop allocation-light (the kernel
+    constructs two Markables per mention); the reference's dynamic
+    ``isa``/``isa_dir`` attributes are explicit fields here with the same
+    lingering semantics (set during the candidate ladder, cleared only when
+    a markable is selected as best candidate)."""
+
+    __slots__ = ("id", "head", "form", "definiteness", "start", "end", "text",
+                 "core_text", "first", "last", "entity", "subclass", "infstat",
+                 "agree", "agree_certainty", "sentence", "antecedent",
+                 "coref_type", "group", "non_antecdent_groups",
+                 "entity_certainty", "isa_partner_head", "alt_agree",
+                 "alt_entities", "alt_subclasses", "cardinality", "submarks",
+                 "coordinate", "length", "mod_count", "killed", "matching_rule",
+                 "entity_dep_scores", "entity_sim_dep_scores", "lex_dep_scores",
+                 "lex_sim_dep_scores", "_child_func_string", "isa", "isa_dir")
 
     def __init__(self, mark_id: int, head: Token, form: str, definiteness: str,
                  start: int, end: int, text: str, core_text: str, entity: str,
@@ -118,6 +134,8 @@ class Markable:
         self.lex_dep_scores: Dict[str, int] = {}
         self.lex_sim_dep_scores: Dict[str, int] = {}
         self._child_func_string: Optional[str] = None
+        self.isa = False       # transient candidate-ladder flag
+        self.isa_dir = ""      # transient isa-direction marker
 
     # -- delegated properties (reference xrenner_classes.py:266-287) ----
     @property

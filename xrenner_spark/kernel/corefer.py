@@ -170,14 +170,14 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
             propagate_entity(markable, last_pruned_iter)
         elif rule.propagation.startswith("propagate"):
             propagate_entity(markable, best, rule.propagation)
-    if hasattr(best, "isa"):
-        if hasattr(best, "isa_dir"):
+    if best is not None and best.isa:
+        if best.isa_dir != "":
             if best.isa_dir == "markable":
                 markable.isa_partner_head = best.head.lemma
             else:
                 best.isa_partner_head = markable.head.lemma
-            delattr(best, "isa_dir")
-        delattr(best, "isa")
+            best.isa_dir = ""
+        best.isa = False
     return best
 
 
