@@ -336,28 +336,108 @@ def _sent_quantity(state, seed) -> _SentBuilder:
     return sb
 
 
+def _sent_us_intro(state, seed) -> _SentBuilder:
+    """Introduce 'the United States' so a later mention can hit the
+    hard-wired coref table ('the US|the United States')."""
+    sb = _SentBuilder()
+    common = _pick(COMMONS, seed, "c8")
+    sb.add_np(_np_common("The", common, 0), "nsubj")
+    v = sb.add("pleased", "please", "VERB", "_", 0, "root")
+    sb.add_np(_np_multiword(["the", "United", "States"], 0), "obj")
+    _finish(sb, v)
+    state["us_intro"] = True
+    return sb
+
+
+def _sent_us_coref(state, seed) -> _SentBuilder:
+    sb = _SentBuilder()
+    if not state.get("us_intro"):
+        return _sent_pronoun_def(state, seed)
+    sb.add("Many", "many", "ADJ", "_", 2, "amod")
+    sb.add("leaders", "leader", "NOUN", "Number=Plur", "@VERB", "nsubj")
+    v = sb.add("praised", "praise", "VERB", "_", 0, "root")
+    sb.add_np(_np_multiword(["the", "US"], 0), "obj")
+    _finish(sb, v)
+    return sb
+
+
+def _sent_reflexive(state, seed) -> _SentBuilder:
+    """Reflexive object binding to the clause subject (rule 2)."""
+    sb = _SentBuilder()
+    person = state.get("person") or _pick(PERSONS, seed, "p4")
+    refl = "herself" if person[2] == "Fem" else "himself"
+    sb.add_np(_np_person(*person), "nsubj")
+    v = sb.add("praised", "praise", "VERB", "_", 0, "root")
+    sb.add(refl, refl, "PRON", "_", v, "obj")
+    _finish(sb, v)
+    state["person"] = person
+    return sb
+
+
+def _sent_cataphoric_pronoun(state, seed) -> _SentBuilder:
+    """Sentence-initial pronoun whose referent only appears later
+    (exercises the lookahead/cataphora rule)."""
+    sb = _SentBuilder()
+    person = _pick(PERSONS, seed, "p5")
+    pron = "She" if person[2] == "Fem" else "He"
+    verb, vlemma = _pick(INTRANS_VERBS, seed, "v11")
+    sb.add(pron, pron.lower(), "PRON", "_", "@VERB", "nsubj")
+    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+    _finish(sb, v)
+    state["person"] = person
+    state["need_person_intro"] = True
+    return sb
+
+
 _OPENERS = [_sent_person_intro, _sent_org_intro, _sent_place_visit,
-            _sent_apposition, _sent_coordination, _sent_quantity]
+            _sent_apposition, _sent_coordination, _sent_quantity,
+            _sent_us_intro, _sent_cataphoric_pronoun]
 _FOLLOWERS = [_sent_pronoun_def, _sent_isa_mention, _sent_possessive,
               _sent_they, _sent_nominalization, _sent_place_visit,
-              _sent_org_intro, _sent_pronoun_def]
+              _sent_org_intro, _sent_pronoun_def, _sent_us_coref,
+              _sent_reflexive]
+
+
+def _sent_first_person(state, seed) -> _SentBuilder:
+    sb = _SentBuilder()
+    verb, vlemma = _pick(TRANS_VERBS, seed, "v10")
+    common = _pick(COMMONS, seed, "c9")
+    sb.add("I", "I", "PRON", "_", "@VERB", "nsubj")
+    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+    sb.add_np(_np_common("the", common, 0), "obj")
+    _finish(sb, v)
+    return sb
 
 
 def build_document(doc_id: int) -> Dict[str, str]:
-    """One document: 3-8 sentences, conllu + detokenized text."""
+    """One document: 3-8 sentences, conllu + detokenized text.  One in
+    eight documents is a dialogue with ``# speaker=`` annotations (the
+    engine switches to the speaker-aware rule cascade for those)."""
     state: Dict = {}
     n_sents = 3 + _h(doc_id, "n") % 6
+    dialogue = _h(doc_id, "dlg") % 8 == 0
+    speakers = ["Mary", "Tom"]
     parses: List[str] = []
     texts: List[str] = []
-    opener = _pick(_OPENERS, doc_id, "open")
-    sb = opener(state, _h(doc_id, 0))
-    parses.append(sb.conllu())
-    texts.append(" ".join(sb.words()))
-    for i in range(1, n_sents):
-        template = _pick(_FOLLOWERS, doc_id, "tpl", i)
-        sb = template(state, _h(doc_id, i))
-        parses.append(sb.conllu())
+
+    def emit(sb: _SentBuilder, i: int):
+        parse = sb.conllu()
+        if dialogue:
+            speaker = speakers[_h(doc_id, "spk", i) % 3 % 2]  # Mary-biased
+            parse = "# speaker=%s\n" % speaker + parse
+        parses.append(parse)
         texts.append(" ".join(sb.words()))
+
+    opener = _pick(_OPENERS, doc_id, "open")
+    emit(opener(state, _h(doc_id, 0)), 0)
+    for i in range(1, n_sents):
+        if state.pop("need_person_intro", False):
+            template = _sent_place_visit  # introduces state["person"] by name
+        elif dialogue and _h(doc_id, "fp", i) % 2 == 0:
+            template = _sent_first_person
+        else:
+            template = _pick(_FOLLOWERS, doc_id, "tpl", i)
+        emit(template(state, _h(doc_id, i)), i)
     return {"conllu": "\n\n".join(parses), "text": "\n".join(texts)}
 
 
