@@ -1,0 +1,74 @@
+"""Streaming wrapper: the availableNow stream over file drops must emit
+exactly the triples the batch pipeline computes, and restarting the
+stream must not re-emit processed batches (checkpointed source offsets)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from xrenner_spark.pipeline import generate_pages
+
+
+def _drop_pages(spark, path, lo, hi):
+    """Append one parquet file covering doc ids [lo, hi) — one WARC-ish
+    ingestion drop."""
+    import pandas as pd
+    from xrenner_spark.corpus import build_page
+    rows = [build_page(i) for i in range(lo, hi)]
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    from xrenner_spark.lex import load_lex
+    from xrenner_spark.pipeline import fused_extract_kernel_stage, triples_stage
+    from xrenner_spark.streaming import stream_pipeline
+
+    source = str(tmp_path / "pages_stream")
+    out = str(tmp_path / "out")
+    _drop_pages(spark, source, 0, 15)
+    _drop_pages(spark, source, 15, 30)
+
+    query = stream_pipeline(spark, source, out)
+    query.awaitTermination(300)
+
+    stream_triples = spark.read.parquet(out + "/triples")
+    got = {(r.url, r.subj, r.pred, r.obj, r.sent_num)
+           for r in stream_triples.collect()}
+
+    bcast = spark.sparkContext.broadcast(load_lex())
+    batch = triples_stage(
+        fused_extract_kernel_stage(
+            generate_pages(spark, 30, partitions=2), bcast).persist())
+    want = {(r.url, r.subj, r.pred, r.obj, r.sent_num) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+    # restart with a new file drop: only the new docs are processed
+    _drop_pages(spark, source, 30, 40)
+    query2 = stream_pipeline(spark, source, out)
+    query2.awaitTermination(300)
+    after = spark.read.parquet(out + "/triples")
+    batch_ids = {r.batch_id for r in after.select("batch_id").distinct().collect()}
+    n_after = after.count()
+    assert n_after > len(got)  # new triples appended
+    # stream restarted from checkpoint: earlier triples not duplicated
+    dup_check = (after.groupBy("url", "subj", "pred", "obj", "sent_num")
+                 .count().filter("count > 1").count())
+    assert dup_check == 0
+    assert len(batch_ids) >= 2
+
+
+def test_mention_rate_stream_plan(spark):
+    """The watermarked aggregation compiles against the kernel schema
+    (smoke: batch execution of the same expression tree)."""
+    from xrenner_spark.lex import load_lex
+    from xrenner_spark.pipeline import fused_extract_kernel_stage
+    from xrenner_spark.streaming import mention_rate_stream
+
+    bcast = spark.sparkContext.broadcast(load_lex())
+    kernel_out = fused_extract_kernel_stage(
+        generate_pages(spark, 25, partitions=2), bcast)
+    rows = mention_rate_stream(kernel_out).collect()
+    assert sum(r.docs for r in rows) == 25
+    assert all(r.errors == 0 for r in rows)
