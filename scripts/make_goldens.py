@@ -60,6 +60,17 @@ def dump_document(parse_text):
     return mentions
 
 
+def dump_formats(parse_text):
+    """Reference serializations (fresh engine per format: the reference
+    accumulates hasa counts across analyze() calls)."""
+    from xrenner import Xrenner
+    out = {}
+    for fmt in ("sgml", "conll", "onto", "unittest"):
+        engine = Xrenner(model=MODEL, rule_based=True, no_seq=True)
+        out[fmt] = engine.analyze(parse_text, fmt)
+    return out
+
+
 def main():
     docs_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "tests/fixtures/docs")
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "tests/fixtures/goldens")
@@ -68,7 +79,7 @@ def main():
         name = os.path.splitext(os.path.basename(path))[0]
         parse = io.open(path, encoding="utf8").read()
         mentions = dump_document(parse)
-        out = {"doc": name, "mentions": mentions}
+        out = {"doc": name, "mentions": mentions, "formats": dump_formats(parse)}
         with io.open(os.path.join(out_dir, name + ".json"), "w", encoding="utf8") as fh:
             json.dump(out, fh, indent=1, ensure_ascii=False)
         print("%-28s %3d mentions" % (name, len(mentions)))

@@ -248,10 +248,22 @@ def _serialize(doc_id: str, doc: DocState) -> DocResult:
             "sent_num": tok.sentence.sent_num, "quoted": tok.quoted,
             "negated": tok.negated,
         })
+    def ref_id(mark):
+        """Reference-style markable id: verbal pseudo-markables are keyed
+        by head token id (xrenner_xrenner.py:255), others by counter;
+        postprocessing-removed marks carry id "0"."""
+        if mark.killed:
+            return "0"
+        if mark.form == "verbal" or mark.id < 0:
+            return "referent_%d" % mark.head.tid
+        return "referent_%d" % mark.id
+
     mention_rows = []
     for mark in doc.markables:
         ante = mark.antecedent
         mention_rows.append({
+            "ref_id": ref_id(mark),
+            "antecedent_ref": ref_id(ante) if ante is not None else "none",
             "doc_id": doc_id,
             "mark_id": "%d_%d" % (mark.start, mark.end),
             "start": mark.start, "end": mark.end,
