@@ -77,6 +77,29 @@ def kg_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_mentions"))
 
 
+def _kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrenner_spark.pipeline import generate_pages, salt_by_url, tokens_stage
+    n = min(_n_docs(spark, sf_dir), 1000)
+    pages = generate_pages(spark, n, partitions=8)
+    return tokens_stage(salt_by_url(pages, 8))
+
+
+def kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kg_tokens(spark, sf_dir)
+
+
+def kg_child_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child-info aggregation as a genuine SQL self-join (SURVEY §2.2)."""
+    from xrenner_spark.pipeline import child_info_sql
+    return child_info_sql(_kg_tokens(spark, sf_dir))
+
+
+def kg_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-tree transitive closure by iterative self-join (SURVEY §2.7)."""
+    from xrenner_spark.pipeline import descendants_closure_sql
+    return descendants_closure_sql(_kg_tokens(spark, sf_dir))
+
+
 def kg_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant surfaced as a queryable check."""
     from xrenner_spark.pipeline import extract_stage, generate_pages, salt_by_url
@@ -100,6 +123,9 @@ def _catalog():
     cat["kg_mentions"] = (kg_mentions, None)
     cat["kg_chains"] = (kg_chains, None)
     cat["kg_extract_invariant"] = (kg_extract_invariant, None)
+    cat["kg_tokens"] = (kg_tokens, None)
+    cat["kg_child_info"] = (kg_child_info, None)
+    cat["kg_descendants"] = (kg_descendants, None)
     return cat
 
 

@@ -177,6 +177,96 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(extract, schema=EXTRACT_SCHEMA)
 
 
+TOKENS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("tid", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lemma", T.StringType()),
+    T.StructField("pos", T.StringType()),
+    T.StructField("head", T.IntegerType()),
+    T.StructField("func", T.StringType()),
+    T.StructField("sent_num", T.IntegerType()),
+])
+
+
+def tokens_stage(extracted_or_pages: DataFrame) -> DataFrame:
+    """Long-format token table (url, tid, text, lemma, pos, head, func,
+    sent_num) for SQL-side corpus analytics; accepts either the extract
+    stage output (has conllu) or raw pages (has html)."""
+    has_conllu = "conllu" in extracted_or_pages.columns
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import extract_conllu
+        for pdf in iterator:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                conllu = rec.conllu if has_conllu else extract_conllu(rec.html)
+                offset = 0
+                in_sentence = 0
+                sent_num = 1
+                for line in conllu.split("\n"):
+                    if "\t" not in line:
+                        if in_sentence:
+                            offset += in_sentence
+                            sent_num += 1
+                            in_sentence = 0
+                        continue
+                    cols = line.split("\t")
+                    if "." in cols[0] or "-" in cols[0]:
+                        continue
+                    in_sentence += 1
+                    head = 0 if cols[6] == "0" else int(cols[6]) + offset
+                    rows.append({"url": rec.url, "tid": int(cols[0]) + offset,
+                                 "text": cols[1], "lemma": cols[2], "pos": cols[3],
+                                 "head": head, "func": cols[7], "sent_num": sent_num})
+            yield pd.DataFrame(rows, columns=[f.name for f in TOKENS_SCHEMA.fields])
+
+    return extracted_or_pages.mapInPandas(run, schema=TOKENS_SCHEMA)
+
+
+def child_info_sql(tokens: DataFrame) -> DataFrame:
+    """SQL analogue of the kernel's child-info aggregation (reference
+    xrenner_preprocess.py:27-46 as a self-join + sorted collect,
+    SURVEY.md §2.2)."""
+    child = tokens.select(F.col("url").alias("c_url"),
+                          F.col("head").alias("c_head"),
+                          F.col("func").alias("c_func"),
+                          F.col("text").alias("c_text"))
+    return (tokens.join(child, (tokens.url == child.c_url)
+                        & (tokens.tid == child.c_head), "inner")
+            .groupBy("url", "tid")
+            .agg(F.concat_ws(";", F.sort_array(F.collect_list("c_func")))
+                 .alias("child_funcs"),
+                 F.concat_ws(";", F.sort_array(F.collect_list("c_text")))
+                 .alias("child_strings"),
+                 F.count("*").alias("n_children")))
+
+
+def descendants_closure_sql(tokens: DataFrame, max_depth: int = 12) -> DataFrame:
+    """Transitive closure of the dependency child relation via iterative
+    self-join to fixpoint, bounded by tree depth (the SQL analogue of
+    reference xrenner_classes.py:305-320; SURVEY.md §2.7)."""
+    edges = (tokens.filter(F.col("head") > 0)
+             .select("url", F.col("head").alias("ancestor"),
+                     F.col("tid").alias("descendant"))).persist()
+    closure = edges
+    frontier = edges
+    for _depth in range(max_depth):
+        stepped = (frontier.alias("f")
+                   .join(edges.alias("e"),
+                         (F.col("f.url") == F.col("e.url"))
+                         & (F.col("f.descendant") == F.col("e.ancestor")))
+                   .select(F.col("f.url").alias("url"),
+                           F.col("f.ancestor").alias("ancestor"),
+                           F.col("e.descendant").alias("descendant")))
+        new_pairs = stepped.exceptAll(closure)
+        if new_pairs.isEmpty():
+            break
+        closure = closure.unionAll(new_pairs).distinct().persist()
+        frontier = new_pairs
+    return closure
+
+
 # ---------------------------------------------------------------------
 # stage 2: the per-document kernel
 # ---------------------------------------------------------------------
