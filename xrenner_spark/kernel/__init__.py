@@ -9,4 +9,5 @@ SURVEY.md §7.2) and is executed over Arrow batches of documents inside
 parallelism.
 """
 
-from .engine import analyze_document, DocResult  # noqa: F401
+from .engine import (analyze_document, analyze_document_windowed,  # noqa: F401
+                     DocResult)

@@ -21,6 +21,61 @@ from .mentions import (is_atomic, make_markable, pos_func_combo,
                        recognize_entity_by_mod, stoplist_prefix_tokens)
 
 
+def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
+                              max_sentences: int = 500) -> "DocResult":
+    """Giant-document guard: documents longer than ``max_sentences`` are
+    split into sentence windows analyzed independently, with token ids and
+    chain group ids rebased so the merged result stays document-global.
+
+    This deliberately cuts coreference ACROSS window boundaries — a
+    bounded approximation that trades tail accuracy on pathological pages
+    for worst-case task latency (SURVEY.md §7.2 risk 3: the one place
+    salting cannot fix skew, because one document is one kernel call).
+    Documents at or under the threshold take the exact path.
+    """
+    blocks = [b for b in conllu_text.replace("\r", "").split("\n\n") if b.strip()]
+    if len(blocks) <= max_sentences:
+        return analyze_document(doc_id, conllu_text, lex)
+
+    tokens: List[dict] = []
+    mentions: List[dict] = []
+    n_sentences = 0
+    n_tokens = 0
+    group_base = 0
+    for w in range(0, len(blocks), max_sentences):
+        window = "\n\n".join(blocks[w:w + max_sentences])
+        part = analyze_document(doc_id, window, lex)
+        tok_base = n_tokens
+        sent_base = n_sentences
+        for tok in part.tokens:
+            tok = dict(tok)
+            tok["tid"] += tok_base
+            if tok["head"] > 0:
+                tok["head"] += tok_base
+            tok["sent_num"] += sent_base
+            tokens.append(tok)
+        max_group = 0
+        for m in part.mentions:
+            m = dict(m)
+            for key in ("start", "end", "head_id"):
+                m[key] += tok_base
+            if m["head_parent"] > 0:
+                m["head_parent"] += tok_base
+            m["sent_num"] += sent_base
+            m["mark_id"] = "%d_%d" % (m["start"], m["end"])
+            if m["antecedent"]:
+                a_start, a_end = m["antecedent"].split("_")
+                m["antecedent"] = "%d_%d" % (int(a_start) + tok_base,
+                                             int(a_end) + tok_base)
+            max_group = max(max_group, m["group_id"])
+            m["group_id"] += group_base
+            mentions.append(m)
+        group_base += max_group
+        n_tokens += part.n_tokens
+        n_sentences += part.n_sentences
+    return DocResult(doc_id, tokens, mentions, n_sentences, n_tokens)
+
+
 class DocResult:
     """Kernel output for one document."""
 

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import Catalog
-from .kernel import analyze_document
+from .kernel import analyze_document, analyze_document_windowed
 from .lex import load_lex
 from .triples import parse_verbs
 
@@ -281,7 +281,7 @@ def kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
             for rec in pdf.itertuples(index=False):
                 t0 = time.perf_counter()
                 try:
-                    result = analyze_document(rec.url, rec.conllu, lex)
+                    result = analyze_document_windowed(rec.url, rec.conllu, lex)
                     mentions = [tuple(m[k] for k in _MENTION_FIELDS)
                                 for m in result.mentions]
                     verbs = sorted(parse_verbs(rec.conllu).items())
@@ -327,7 +327,7 @@ def fused_extract_kernel_stage(pages: DataFrame, lex_broadcast) -> DataFrame:
                     if extracted != rec.text:
                         raise ValueError("byte-identity violation for " + rec.url)
                     conllu = extract_conllu(rec.html)
-                    result = analyze_document(rec.url, conllu, lex)
+                    result = analyze_document_windowed(rec.url, conllu, lex)
                     mentions = [tuple(m[k] for k in _MENTION_FIELDS)
                                 for m in result.mentions]
                     verbs = sorted(parse_verbs(conllu).items())
