@@ -95,9 +95,12 @@ def kg_child_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dependency-tree transitive closure by iterative self-join (SURVEY §2.7)."""
-    from xrenner_spark.pipeline import descendants_closure_sql
-    return descendants_closure_sql(_kg_tokens(spark, sf_dir))
+    """Dependency-tree transitive closure by iterative self-join (SURVEY §2.7).
+    Bounded input: the fixpoint loop runs one Spark job per depth level."""
+    from xrenner_spark.pipeline import (descendants_closure_sql, generate_pages,
+                                        salt_by_url, tokens_stage)
+    pages = generate_pages(spark, 200, partitions=8)
+    return descendants_closure_sql(tokens_stage(salt_by_url(pages, 8)))
 
 
 def kg_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:

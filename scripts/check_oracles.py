@@ -53,6 +53,7 @@ def main():
     for name, fn in sorted(qdict.items()):
         if ONLY and name not in ONLY:
             continue
+        spark.catalog.clearCache()  # operator-internal caches must not leak
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
