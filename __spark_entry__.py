@@ -29,7 +29,17 @@ def _n_docs(spark: SparkSession, sf_dir: str) -> int:
     return spark.read.parquet(sf_dir + "/documents.parquet").count()
 
 
+_KERNEL_OUT_CACHE: dict = {}
+
+
 def _kg_kernel_out(spark: SparkSession, sf_dir: str):
+    """Kernel output for the kg_* queries, persisted + eagerly materialized
+    (the triples stage derives three co-keyed views, which would otherwise
+    race-recompute the kernel) and memoized per sf_dir so consecutive kg
+    queries in one session share a single cached copy."""
+    key = (id(spark), sf_dir)
+    if key in _KERNEL_OUT_CACHE:
+        return _KERNEL_OUT_CACHE[key]
     from xrenner_spark.lex import load_lex
     from xrenner_spark.pipeline import (fused_extract_kernel_stage,
                                         generate_pages, salt_by_url)
@@ -37,10 +47,9 @@ def _kg_kernel_out(spark: SparkSession, sf_dir: str):
     partitions = max(spark.sparkContext.defaultParallelism, 8)
     pages = generate_pages(spark, n, partitions=partitions)
     bcast = spark.sparkContext.broadcast(load_lex())
-    # persisted + eagerly materialized: the triples stage derives three
-    # co-keyed views, which would otherwise race-recompute the kernel
     out = fused_extract_kernel_stage(salt_by_url(pages, partitions), bcast).persist()
     out.count()
+    _KERNEL_OUT_CACHE[key] = out
     return out
 
 

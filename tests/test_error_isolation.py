@@ -1,0 +1,28 @@
+"""One corrupt page must not kill a partition: the kernel stage records
+the error on that row and processes every other document normally."""
+
+from pyspark.sql import functions as F
+
+from xrenner_spark.lex import load_lex
+from xrenner_spark.pipeline import (PAGES_SCHEMA, fused_extract_kernel_stage,
+                                    generate_pages)
+
+
+def test_corrupt_pages_are_isolated(spark):
+    import pandas as pd
+    from xrenner_spark.corpus import build_page
+    rows = [build_page(i) for i in range(10)]
+    rows[3]["html"] = b"<html>no article, no parse</html>"       # unparseable
+    rows[7]["html"] = rows[7]["html"].replace(
+        b"<article>", b"<article>TAMPERED ")                     # invariant break
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA).repartition(2)
+
+    bcast = spark.sparkContext.broadcast(load_lex())
+    out = fused_extract_kernel_stage(pages, bcast).collect()
+    assert len(out) == 10
+    errors = {r.url: r.error for r in out if r.error != ""}
+    assert len(errors) == 2
+    assert any("byte-identity" in e for e in errors.values())
+    good = [r for r in out if r.error == ""]
+    assert all(len(r.mentions) > 0 for r in good)
