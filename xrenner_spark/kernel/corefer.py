@@ -181,36 +181,58 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
     return best
 
 
+_NO_ANTECEDENT_CACHE: dict = {}
+
+
+def _compile_no_antecedent(setting: str):
+    """Parse the no_antecedent mini-language once per setting string."""
+    compiled = []
+    for constraint in setting.split(";"):
+        descs = []
+        for token_description in constraint.split("&"):
+            anchor = token_description[:1]
+            if anchor not in ("^", "$", "@"):
+                return None  # invalid description: prohibition never applies
+            pos, word = token_description[1:].split("/")
+            negative_pos = pos.startswith("!")
+            if negative_pos:
+                pos = pos[1:]
+            negative_word = word.startswith("!")
+            if negative_word:
+                word = word[1:]
+            descs.append((anchor, re.compile(pos), negative_pos,
+                          re.compile(word), negative_word))
+        compiled.append(descs)
+    return compiled
+
+
 def antecedent_prohibited(markable: Markable, doc: DocState, lex) -> bool:
     """no_antecedent pattern mini-language: ^initial / $final / @head token
     POS+text tests (reference xrenner_coref.py:182-230)."""
     setting = lex.filters["no_antecedent"]
+    if not isinstance(setting, str) or "/" not in setting:
+        return False
+    if setting not in _NO_ANTECEDENT_CACHE:
+        _NO_ANTECEDENT_CACHE[setting] = _compile_no_antecedent(setting)
+    compiled = _NO_ANTECEDENT_CACHE[setting]
+    if compiled is None:
+        return False
     mismatch = True
-    if isinstance(setting, str) and "/" in setting:
-        for constraint in setting.split(";"):
-            if not mismatch:
-                return True
-            mismatch = False
-            for token_description in constraint.split("&"):
-                if token_description.startswith("^"):
-                    test_token = doc.tokens[markable.start]
-                elif token_description.startswith("$"):
-                    test_token = doc.tokens[markable.end]
-                elif token_description.startswith("@"):
-                    test_token = markable.head
-                else:
-                    return False
-                pos, word = token_description[1:].split("/")
-                negative_pos = pos.startswith("!")
-                if negative_pos:
-                    pos = pos[1:]
-                negative_word = word.startswith("!")
-                if negative_word:
-                    word = word[1:]
-                pos_hit = re.compile(pos).match(test_token.pos) is not None
-                word_hit = re.compile(word).match(test_token.text) is not None
-                if (not pos_hit and not negative_pos) or (pos_hit and negative_pos) or \
-                        (not word_hit and not negative_word) or (word_hit and negative_word):
-                    mismatch = True
-                    break
+    for descs in compiled:
+        if not mismatch:
+            return True
+        mismatch = False
+        for anchor, pos_re, negative_pos, word_re, negative_word in descs:
+            if anchor == "^":
+                test_token = doc.tokens[markable.start]
+            elif anchor == "$":
+                test_token = doc.tokens[markable.end]
+            else:
+                test_token = markable.head
+            pos_hit = pos_re.match(test_token.pos) is not None
+            word_hit = word_re.match(test_token.text) is not None
+            if (not pos_hit and not negative_pos) or (pos_hit and negative_pos) or \
+                    (not word_hit and not negative_word) or (word_hit and negative_word):
+                mismatch = True
+                break
     return not mismatch
