@@ -39,6 +39,36 @@ def test_html_text_roundtrip_byte_identical():
         assert extract_conllu(page["html"]) == build_document(doc_id)["conllu"]
 
 
+def test_corpus_mention_exactness(lex):
+    """Mention-level parity on the corpus goldens — stricter than triple
+    P/R (canonicalization can mask chain differences: a spurious merge of
+    two same-text chains leaves triples unchanged)."""
+    goldens = json.load(io.open(GOLDEN, encoding="utf8"))
+    fields = ["start", "end", "text", "core_text", "entity", "subclass", "agree",
+              "form", "definiteness", "cardinality", "coref_type", "antecedent",
+              "infstat", "coordinate"]
+    for doc_id, golden in goldens.items():
+        conllu = build_document(int(doc_id))["conllu"]
+        result = analyze_document(doc_id, conllu, lex)
+        mine = {m["mark_id"]: m for m in result.mentions}
+        theirs = {m["mark_id"]: m for m in golden["mentions"]}
+        assert sorted(mine) == sorted(theirs), "doc %s spans differ" % doc_id
+        for span, ref in theirs.items():
+            for f in fields:
+                key = f if f in mine[span] else f
+                assert mine[span][f] == ref[f], (
+                    "doc %s %s field %s: %r != %r"
+                    % (doc_id, span, f, mine[span][f], ref[f]))
+        # chain partitions
+        def part(ms, key):
+            g = {}
+            for m in ms:
+                g.setdefault(str(m.get(key, m.get("group"))), set()).add(m["mark_id"])
+            return {frozenset(v) for v in g.values()}
+        assert part(result.mentions, "group_id") == part(golden["mentions"], "group"), (
+            "doc %s chain partitions differ" % doc_id)
+
+
 def test_triple_precision_recall(lex):
     goldens = json.load(io.open(GOLDEN, encoding="utf8"))
     total_mine = total_ref = total_hit = 0

@@ -157,14 +157,20 @@ def _load_filters(model_dir: str) -> Filters:
     filters["score_thresh"] = 0.5
     for option in config.options("main"):
         filters[option] = _type_config_value(config.get("main", option))
-    # agree->entity shortcut map parsed from "agree>entity;..." syntax
+    # agree->entity shortcut map parsed from "agree>entity;..." syntax.
+    # NB: the reference keeps a literal {"none": "none"} entry from the
+    # conventional none>none placeholder (xrenner_lex.py:407-415), and
+    # because default_agree is also "none", the coreference candidate
+    # prune (xrenner_coref.py:128-130) then removes every candidate whose
+    # entity != "none" for default-agree anaphors.  That quirk is
+    # semantically load-bearing — dropping the entry diverged on 8/500
+    # sweep documents — so it is kept verbatim.
     mapping_raw = filters["agree_entity_mapping"]
     ent_map: Dict[str, str] = {}
     if isinstance(mapping_raw, str) and ">" in mapping_raw:
         for pair in mapping_raw.split(";"):
             key, val = pair.split(">")
-            if key != "none":
-                ent_map[key] = val
+            ent_map[key] = val
     filters["agree_entity_mapping"] = ent_map
     return filters
 
