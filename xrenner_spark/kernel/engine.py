@@ -305,12 +305,15 @@ def _serialize(doc_id: str, doc: DocState) -> DocResult:
         })
     def ref_id(mark):
         """Reference-style markable id: verbal pseudo-markables are keyed
-        by head token id (xrenner_xrenner.py:255), others by counter;
-        postprocessing-removed marks carry id "0"."""
+        by head token id (xrenner_xrenner.py:255), apposition envelopes
+        carry the literal id "env" (xrenner_postprocess.py:209), and
+        postprocessing-removed marks carry "0"."""
         if mark.killed:
             return "0"
-        if mark.form == "verbal" or mark.id < 0:
+        if mark.form == "verbal":
             return "referent_%d" % mark.head.tid
+        if mark.id < 0:
+            return "env"
         return "referent_%d" % mark.id
 
     mention_rows = []
