@@ -53,8 +53,8 @@ def _lang_id_sql() -> str:
     ),
     hits AS (
         SELECT doc_id,
-               sum(CASE WHEN lower(word) IN (%s) THEN 1 ELSE 0 END) AS en_hits,
-               sum(CASE WHEN lower(word) IN (%s) THEN 1 ELSE 0 END) AS es_hits,
+               CAST(sum(CASE WHEN lower(word) IN (%s) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+               CAST(sum(CASE WHEN lower(word) IN (%s) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
                count(*) AS n_words
         FROM words GROUP BY doc_id
     )
