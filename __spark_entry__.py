@@ -39,7 +39,13 @@ def _kg_kernel_out(spark: SparkSession, sf_dir: str):
     queries in one session share a single cached copy."""
     key = (id(spark), sf_dir)
     if key in _KERNEL_OUT_CACHE:
-        return _KERNEL_OUT_CACHE[key]
+        out = _KERNEL_OUT_CACHE[key]
+        if not out.storageLevel.useMemory and not out.storageLevel.useDisk:
+            # a harness-side spark.catalog.clearCache() dropped the cache;
+            # re-pin it before the multi-view stages fan out
+            out.persist()
+            out.count()
+        return out
     from xrenner_spark.lex import load_lex
     from xrenner_spark.pipeline import (fused_extract_kernel_stage,
                                         generate_pages, salt_by_url)
@@ -53,6 +59,38 @@ def _kg_kernel_out(spark: SparkSession, sf_dir: str):
     return out
 
 
+_EXPORT_STATE = {"sf_dir": None}
+
+
+def _ensure_kg_exports(spark: SparkSession, sf_dir: str) -> str:
+    """Write the oracle base tables (exploded kernel mentions/verbs, raw
+    conllu, token tables) to parquet under ``kg_oracle.EXPORT_DIR`` once
+    per (session, sf_dir).  The kg_* oracle SQL reads these exports and
+    recomputes each downstream stage independently in DuckDB."""
+    from xrenner_spark.operators import kg_oracle
+    from xrenner_spark.pipeline import (extract_stage, generate_pages,
+                                        mentions_view, salt_by_url,
+                                        tokens_stage, verbs_view)
+    if _EXPORT_STATE["sf_dir"] == (id(spark), sf_dir):
+        return kg_oracle.EXPORT_DIR
+    base = kg_oracle.EXPORT_DIR
+    out = _kg_kernel_out(spark, sf_dir)
+    mentions_view(out).write.mode("overwrite").parquet(base + "/mentions.parquet")
+    verbs_view(out).write.mode("overwrite").parquet(base + "/verbs.parquet")
+    n = min(_n_docs(spark, sf_dir), 1000)
+    extracted = extract_stage(salt_by_url(generate_pages(spark, n, partitions=8), 8))
+    extracted = extracted.persist()
+    extracted.count()
+    extracted.select("url", "conllu").write.mode("overwrite") \
+        .parquet(base + "/conllu.parquet")
+    tokens_stage(extracted).write.mode("overwrite").parquet(base + "/tokens1k.parquet")
+    extracted.unpersist()
+    tokens_stage(salt_by_url(generate_pages(spark, 200, partitions=8), 8)) \
+        .write.mode("overwrite").parquet(base + "/tokens200.parquet")
+    _EXPORT_STATE["sf_dir"] = (id(spark), sf_dir)
+    return base
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: triples from the synthetic web corpus at sf0.001."""
     from xrenner_spark.pipeline import triples_stage
@@ -60,14 +98,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# KG stage queries (rows-only: the per-document rule cascade is not
-# SQL-expressible — the driver records a rows-only check, and the pytest
-# golden/triple-parity suites carry the correctness burden)
+# KG stage queries.  The per-document rule cascade itself is not
+# SQL-expressible (kg_mentions / kg_extract_invariant stay rows-only;
+# the pytest golden + parity suites carry that burden), but every SQL
+# stage downstream of the kernel is driver-verified against a DuckDB
+# twin over the exported kernel output (operators/kg_oracle.py).
 # ---------------------------------------------------------------------
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xrenner_spark.pipeline import triples_stage
-    return (triples_stage(_kg_kernel_out(spark, sf_dir))
+    from xrenner_spark.pipeline import triples_from_views
+    base = _ensure_kg_exports(spark, sf_dir)
+    return (triples_from_views(spark.read.parquet(base + "/mentions.parquet"),
+                               spark.read.parquet(base + "/verbs.parquet"))
             .select("url", "subj", "pred", "obj", "sent_num",
                     "subj_entity", "obj_entity"))
 
@@ -80,36 +122,37 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xrenner_spark.pipeline import chains_stage
-    return (chains_stage(_kg_kernel_out(spark, sf_dir))
+    from xrenner_spark.pipeline import chains_from_mentions
+    base = _ensure_kg_exports(spark, sf_dir)
+    return (chains_from_mentions(spark.read.parquet(base + "/mentions.parquet"))
             .select("url", "group_id", "canonical_text", "entity",
                     "n_mentions"))
 
 
-def _kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python conllu parse under test; the oracle re-parses the exported
+    conllu text entirely in SQL."""
     from xrenner_spark.pipeline import generate_pages, salt_by_url, tokens_stage
+    _ensure_kg_exports(spark, sf_dir)
     n = min(_n_docs(spark, sf_dir), 1000)
     pages = generate_pages(spark, n, partitions=8)
     return tokens_stage(salt_by_url(pages, 8))
 
 
-def kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _kg_tokens(spark, sf_dir)
-
-
 def kg_child_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Child-info aggregation as a genuine SQL self-join (SURVEY §2.2)."""
+    """Child-info aggregation as a genuine SQL self-join (SURVEY §2.2),
+    over the exported token table (same base the oracle reads)."""
     from xrenner_spark.pipeline import child_info_sql
-    return child_info_sql(_kg_tokens(spark, sf_dir))
+    base = _ensure_kg_exports(spark, sf_dir)
+    return child_info_sql(spark.read.parquet(base + "/tokens1k.parquet"))
 
 
 def kg_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dependency-tree transitive closure by iterative self-join (SURVEY §2.7).
-    Bounded input: the fixpoint loop runs one Spark job per depth level."""
-    from xrenner_spark.pipeline import (descendants_closure_sql, generate_pages,
-                                        salt_by_url, tokens_stage)
-    pages = generate_pages(spark, 200, partitions=8)
-    return descendants_closure_sql(tokens_stage(salt_by_url(pages, 8)))
+    """Dependency-tree transitive closure by iterative self-join (SURVEY §2.7),
+    vs a WITH RECURSIVE DuckDB twin over the same exported edges."""
+    from xrenner_spark.pipeline import descendants_closure_sql
+    base = _ensure_kg_exports(spark, sf_dir)
+    return descendants_closure_sql(spark.read.parquet(base + "/tokens200.parquet"))
 
 
 def kg_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,13 +174,14 @@ def _catalog():
     from xrenner_spark.operators import relational
     cat = dict(relational.QUERIES)
     cat.update(all_queries())
-    cat["kg_triples"] = (kg_triples, None)
+    from xrenner_spark.operators import kg_oracle
+    cat["kg_triples"] = (kg_triples, kg_oracle.kg_triples_sql())
     cat["kg_mentions"] = (kg_mentions, None)
-    cat["kg_chains"] = (kg_chains, None)
+    cat["kg_chains"] = (kg_chains, kg_oracle.kg_chains_sql())
     cat["kg_extract_invariant"] = (kg_extract_invariant, None)
-    cat["kg_tokens"] = (kg_tokens, None)
-    cat["kg_child_info"] = (kg_child_info, None)
-    cat["kg_descendants"] = (kg_descendants, None)
+    cat["kg_tokens"] = (kg_tokens, kg_oracle.kg_tokens_sql())
+    cat["kg_child_info"] = (kg_child_info, kg_oracle.kg_child_info_sql())
+    cat["kg_descendants"] = (kg_descendants, kg_oracle.kg_descendants_sql())
     return cat
 
 

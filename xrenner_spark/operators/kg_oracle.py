@@ -1,0 +1,169 @@
+"""DuckDB oracle SQL for the KG-stage queries.
+
+The per-document rule kernel itself is not SQL-expressible (it is carried
+by the committed goldens + parity sweep), but every SQL *stage* downstream
+of it is: the driver's Spark query exports the kernel output (exploded
+mentions/verbs), the raw conllu, and the token table to parquet under
+``EXPORT_DIR`` once per (session, sf_dir), and the oracle SQL here
+recomputes each stage independently over those exports:
+
+- kg_chains      — canonicalization aggregation (arg_min/arg_max twins of
+                   chains_from_mentions' min_by/max_by, pipeline.py)
+- kg_triples     — role regexes + verb join + subj×obj join
+                   (triples_from_views, pipeline.py)
+- kg_tokens      — a full independent conllu parse in SQL (line split,
+                   sentence-run detection, token-offset accumulation),
+                   cross-checking the python tokens_stage parser
+- kg_child_info  — the child-info self-join + sorted collect
+- kg_descendants — dependency-tree transitive closure via WITH RECURSIVE
+                   (the fixpoint twin of descendants_closure_sql)
+
+Composite orderings are encoded as banded BIGINT keys (DuckDB's
+arg_min/arg_max take no struct ordering): positions and span lengths are
+bounded far below 10^6 / 10^6 / 10^4 per band, so the scalar order equals
+the lexicographic struct order used on the Spark side.
+"""
+
+from __future__ import annotations
+
+import os
+
+EXPORT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".oracle_export")
+
+
+def _pq(name: str) -> str:
+    return "read_parquet('%s/%s.parquet/*.parquet')" % (EXPORT_DIR, name)
+
+
+# order-equivalent scalar encodings of the Spark-side struct orderings
+_ORD_FIRST = 'CAST(start AS BIGINT) * 1000000 + "end"'
+_ORD_LONGEST = ('CAST(length(core_text) AS BIGINT) * 1000000000000 '
+                '- CAST(start AS BIGINT) * 1000000 - "end"')
+
+_CANON = """
+    SELECT url, group_id,
+           coalesce(
+             arg_min(core_text, {first}) FILTER (WHERE form = 'proper'),
+             arg_max(core_text, {longest}) FILTER (WHERE form != 'pronoun'),
+             arg_min(core_text, {first})
+           ) AS canonical_text,
+           arg_min(entity, {first}) AS entity,
+           count(*) AS n_mentions
+    FROM m GROUP BY url, group_id
+""".format(first=_ORD_FIRST, longest=_ORD_LONGEST)
+
+
+def kg_chains_sql() -> str:
+    return "WITH m AS (SELECT * FROM %s)\n%s" % (_pq("mentions"), _CANON)
+
+
+def kg_triples_sql() -> str:
+    return """
+    WITH m AS (SELECT * FROM {mentions}),
+    v AS (SELECT * FROM {verbs}),
+    canon AS ({canon}),
+    roled AS (
+        SELECT url, mark_id, group_id, head_parent, sent_num,
+               CASE WHEN regexp_matches(head_func, '^[nc]subj') THEN 'subj'
+                    WHEN regexp_matches(head_func, '^(obj|dobj|iobj|obl|nmod)$')
+                         THEN 'obj' END AS role
+        FROM m
+    ),
+    args AS (
+        SELECT r.url, r.mark_id, r.sent_num, r.role, v.verb_id, v.verb_lemma,
+               c.canonical_text, c.entity AS chain_entity
+        FROM roled r
+        JOIN v ON r.url = v.url AND r.head_parent = v.verb_id
+        LEFT JOIN canon c ON r.url = c.url AND r.group_id = c.group_id
+        WHERE r.role IS NOT NULL
+    ),
+    subj AS (SELECT url, verb_id, verb_lemma, canonical_text AS subj,
+                    chain_entity AS subj_entity, sent_num,
+                    mark_id AS subj_mark
+             FROM args WHERE role = 'subj'),
+    obj AS (SELECT url, verb_id, canonical_text AS obj,
+                   chain_entity AS obj_entity, mark_id AS obj_mark
+            FROM args WHERE role = 'obj')
+    SELECT s.url, s.subj, s.verb_lemma AS pred, o.obj, s.sent_num,
+           s.subj_entity, o.obj_entity
+    FROM subj s JOIN obj o ON s.url = o.url AND s.verb_id = o.verb_id
+    WHERE s.subj_mark != o.obj_mark
+    """.format(mentions=_pq("mentions"), verbs=_pq("verbs"), canon=_CANON)
+
+
+def kg_tokens_sql() -> str:
+    """Independent conllu parse: token lines are tab-bearing lines,
+    sentences are maximal runs of token lines, tids/heads are offset by
+    the counted-token total of preceding sentences — the SQL twin of
+    pipeline.tokens_stage's line loop (multiword `1-2` / empty `1.1` ids
+    are excluded from numbering, as there)."""
+    return """
+    WITH docs AS (SELECT * FROM {conllu}),
+    lines AS (
+        SELECT url, u.i AS idx, lns[u.i] AS line
+        FROM (SELECT url, string_split(conllu, chr(10)) AS lns FROM docs) d,
+             LATERAL (SELECT unnest(range(1, len(lns) + 1)) AS i) u
+    ),
+    grp AS (
+        SELECT url, idx, string_split(line, chr(9)) AS c,
+               contains(line, chr(9)) AS is_tok,
+               sum(CASE WHEN contains(line, chr(9)) THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY url ORDER BY idx) AS gap
+        FROM lines
+    ),
+    toks AS (
+        SELECT url, idx, c, gap
+        FROM grp
+        WHERE is_tok AND NOT (contains(c[1], '.') OR contains(c[1], '-'))
+    ),
+    sent AS (
+        SELECT url, gap, count(*) AS n_counted FROM toks GROUP BY url, gap
+    ),
+    sentnum AS (
+        SELECT url, gap,
+               CAST(row_number() OVER (PARTITION BY url ORDER BY gap) AS INTEGER)
+                   AS sent_num,
+               CAST(coalesce(sum(n_counted) OVER (
+                   PARTITION BY url ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS INTEGER) AS offs
+        FROM sent
+    )
+    SELECT t.url,
+           CAST(t.c[1] AS INTEGER) + s.offs AS tid,
+           t.c[2] AS text, t.c[3] AS lemma, t.c[4] AS pos,
+           CASE WHEN t.c[7] = '0' THEN 0
+                ELSE CAST(t.c[7] AS INTEGER) + s.offs END AS head,
+           t.c[8] AS func, s.sent_num
+    FROM toks t JOIN sentnum s ON t.url = s.url AND t.gap = s.gap
+    """.format(conllu=_pq("conllu"))
+
+
+def kg_child_info_sql() -> str:
+    return """
+    WITH t AS (SELECT * FROM {tokens})
+    SELECT p.url, p.tid,
+           array_to_string(list_sort(list(c.func)), ';') AS child_funcs,
+           array_to_string(list_sort(list(c.text)), ';') AS child_strings,
+           count(*) AS n_children
+    FROM t p JOIN t c ON p.url = c.url AND p.tid = c.head
+    GROUP BY p.url, p.tid
+    """.format(tokens=_pq("tokens1k"))
+
+
+def kg_descendants_sql() -> str:
+    return """
+    WITH RECURSIVE t AS (SELECT * FROM {tokens}),
+    edges AS (SELECT url, head AS ancestor, tid AS descendant
+              FROM t WHERE head > 0),
+    closure AS (
+        SELECT url, ancestor, descendant FROM edges
+        UNION
+        SELECT c.url, c.ancestor, e.descendant
+        FROM closure c JOIN edges e
+          ON c.url = e.url AND c.descendant = e.ancestor
+    )
+    SELECT url, ancestor, descendant FROM closure
+    """.format(tokens=_pq("tokens200"))

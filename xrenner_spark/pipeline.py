@@ -259,11 +259,23 @@ def descendants_closure_sql(tokens: DataFrame, max_depth: int = 12) -> DataFrame
                    .select(F.col("f.url").alias("url"),
                            F.col("f.ancestor").alias("ancestor"),
                            F.col("e.descendant").alias("descendant")))
-        new_pairs = stepped.exceptAll(closure)
+        # the convergence check is inherently one driver-side job per depth
+        # level; persist the new frontier so that job isn't recomputed by
+        # the union below, and release superseded iterations eagerly
+        new_pairs = stepped.exceptAll(closure).persist()
         if new_pairs.isEmpty():
+            new_pairs.unpersist()
             break
-        closure = closure.unionAll(new_pairs).distinct().persist()
-        frontier = new_pairs
+        new_closure = closure.unionAll(new_pairs).distinct().persist()
+        new_closure.count()  # materialize before freeing its inputs
+        if closure is not edges:
+            closure.unpersist()
+        if frontier is not edges and frontier is not closure:
+            frontier.unpersist()
+        closure, frontier = new_closure, new_pairs
+    if frontier is not edges and frontier is not closure:
+        frontier.unpersist()
+    edges.unpersist()
     return closure
 
 
@@ -377,12 +389,20 @@ def lineage_of(stage_df: DataFrame, stage: str) -> DataFrame:
 def chains_stage(kernel_out: DataFrame) -> DataFrame:
     """Chain aggregation with canonicalization (groupBy + min_by/max_by;
     same rules as triples.canonical_mentions)."""
-    mentions = mentions_view(kernel_out)
+    return chains_from_mentions(mentions_view(kernel_out))
+
+
+def chains_from_mentions(mentions: DataFrame) -> DataFrame:
+    """chains_stage over an already-exploded mentions table (also the
+    driver-oracle entry point: the DuckDB twin recomputes this aggregation
+    over the exported mentions parquet).  Orderings are total — the -end
+    tiebreak makes max_by deterministic when two spans share length and
+    start — so Spark and DuckDB pick identical canonical strings."""
     return (
         mentions.groupBy("url", "group_id").agg(
             F.expr("min_by(core_text, struct(start, end)) "
                    "FILTER (WHERE form = 'proper')").alias("proper_first"),
-            F.expr("max_by(core_text, struct(length(core_text), -start)) "
+            F.expr("max_by(core_text, struct(length(core_text), -start, -end)) "
                    "FILTER (WHERE form != 'pronoun')").alias("longest_nominal"),
             F.expr("min_by(core_text, struct(start, end))").alias("first_any"),
             F.count("*").alias("n_mentions"),
@@ -414,9 +434,17 @@ def triples_stage(kernel_out: DataFrame, subject_func: str = "^[nc]subj",
     to chain-canonical strings.  All joins are co-keyed on url, so with the
     upstream url-hash partitioning they stay within the same shuffle
     partitioning (AQE coalesces post-shuffle)."""
-    mentions = mentions_view(kernel_out)
-    verbs = verbs_view(kernel_out)
-    canon = chains_stage(kernel_out).select(
+    return triples_from_views(mentions_view(kernel_out), verbs_view(kernel_out),
+                              subject_func, object_func)
+
+
+def triples_from_views(mentions: DataFrame, verbs: DataFrame,
+                       subject_func: str = "^[nc]subj",
+                       object_func: str = "^(obj|dobj|iobj|obl|nmod)$") -> DataFrame:
+    """triples_stage over already-exploded mentions/verbs views (the
+    driver-oracle entry point — same dataflow, input read back from the
+    exported parquet instead of the live kernel)."""
+    canon = chains_from_mentions(mentions).select(
         "url", "group_id", "canonical_text", F.col("entity").alias("chain_entity"))
 
     args = (mentions
