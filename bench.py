@@ -80,6 +80,12 @@ def main():
     shutil.rmtree(wh, ignore_errors=True)
     for name, fn in operator_benches.items():
         spark.catalog.clearCache()  # operator-internal caches must not leak
+        # single-JVM local mode couples queries through the shared heap:
+        # the kernel stage's ~GBs of transient garbage otherwise lands as
+        # GC pauses on whatever query runs next (measured: 57 s vs 6.7 s
+        # for the same query).  A real cluster GCs per executor; collect
+        # here so each query is timed on its own work.
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         _noop_write(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
