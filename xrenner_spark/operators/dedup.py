@@ -10,8 +10,17 @@ Scale notes (100 TB design):
 - minhash: shingling + signature aggregation are map-side per doc; the
   only shuffle is the band-key self-join, whose fan-out is bounded by
   band-bucket sizes (skewed buckets are handled by AQE skew-join).
-- shingle self-join (exact jaccard) is the expensive path and is only
-  run on LSH candidates at scale; here it doubles as its own oracle.
+  N_HASHES/BAND_SIZE are arguments — the defaults are the oracle-checked
+  toy config; a production run passes 64-128 hashes (see
+  BENCH/BASELINE.md for the 64-hash smoke numbers).
+- the all-pairs shingle self-join (dedup_ngram_jaccard) explodes on
+  high-df shingles and exists as the small-sf oracle twin only;
+  dedup_jaccard_verify is the scale path: exact Jaccard computed ONLY
+  over the minhash-LSH candidate pairs (verify-after-LSH), with a
+  document-frequency cap dropping boilerplate shingles, so join fan-out
+  is bounded by |candidates| * shingles-per-doc.
+- dedup_simhash_pairs completes SimHash with the neighbour-pairing
+  stage: band the 16-bit signature, bucket-join, exact hamming filter.
 """
 
 from __future__ import annotations
@@ -19,7 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_HASHES = 8
-BAND_SIZE = 2  # 4 bands of 2 -> candidate if any band matches
+BAND_SIZE = 2   # 4 bands of 2 -> candidate if any band matches
+MAX_DF = 100    # jaccard_verify: drop shingles in more docs than this
+HAM_MAX = 3     # simhash_pairs: near-dup threshold (16-bit signature)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,70 +96,90 @@ DEDUP_EXACT_SQL = """
 # MinHash + LSH
 # ---------------------------------------------------------------------
 
-def _signatures(shingles: DataFrame) -> DataFrame:
+def _signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     aggs = [F.min(F.md5(F.concat(F.lit(str(seed) + "|"), F.col("shingle"))))
-            .alias("mh%d" % seed) for seed in range(N_HASHES)]
+            .alias("mh%d" % seed) for seed in range(n_hashes)]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def _signatures_sql() -> str:
+def _signatures_sql(n_hashes: int = N_HASHES) -> str:
     mins = ", ".join(
-        "min(md5('%d|' || shingle)) AS mh%d" % (seed, seed) for seed in range(N_HASHES))
+        "min(md5('%d|' || shingle)) AS mh%d" % (seed, seed) for seed in range(n_hashes))
     return "SELECT doc_id, %s FROM shingles GROUP BY doc_id" % mins
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash signatures, with
-    the estimated Jaccard (matching minhash fraction) per pair."""
-    sigs = _signatures(_shingles(_docs(spark, sf_dir))).cache()
-    sigs.count()  # materialize: reused by 4 band views and both join sides
+def _band_pairs(sigs: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs whose signatures agree on
+    at least one band.  ``sigs`` must be materialized by the caller (it
+    feeds every band view and both join sides)."""
     bands = None
-    for band in range(N_HASHES // BAND_SIZE):
-        cols = ["mh%d" % (band * BAND_SIZE + j) for j in range(BAND_SIZE)]
+    for band in range(n_hashes // band_size):
+        cols = ["mh%d" % (band * band_size + j) for j in range(band_size)]
         b = sigs.select(
             "doc_id",
             F.md5(F.concat_ws("\x1f", F.lit(str(band)), *cols)).alias("band_key"))
         bands = b if bands is None else bands.unionAll(b)
     left = bands.alias("a")
     right = bands.alias("b")
-    pairs = (left.join(right, (F.col("a.band_key") == F.col("b.band_key"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
+    return (left.join(right, (F.col("a.band_key") == F.col("b.band_key"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      n_hashes: int = N_HASHES,
+                      band_size: int = BAND_SIZE) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash signatures, with
+    the estimated Jaccard (matching minhash fraction) per pair.  The
+    defaults are the toy oracle config; production passes 64-128 hashes
+    (the banding controls the precision/recall point of the candidate
+    sieve — more bands of fewer rows raises recall)."""
+    sigs = _signatures(_shingles(_docs(spark, sf_dir)), n_hashes).cache()
+    sigs.count()  # materialize: reused by every band view and both join sides
+    pairs = _band_pairs(sigs, n_hashes, band_size)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     matches = sum(
         F.when(F.col("sa.mh%d" % i) == F.col("sb.mh%d" % i), 1).otherwise(0)
-        for i in range(N_HASHES))
+        for i in range(n_hashes))
     return (pairs
             .join(sa, pairs.doc_a == F.col("sa.doc_id"))
             .join(sb, pairs.doc_b == F.col("sb.doc_id"))
             .select("doc_a", "doc_b", matches.cast("long").alias("sig_matches")))
 
 
-def dedup_minhash_sql() -> str:
-    bands = "\nUNION ALL\n".join(
-        "SELECT doc_id, md5('%d' || chr(31) || mh%d || chr(31) || mh%d) AS band_key FROM sigs"
-        % (band, band * BAND_SIZE, band * BAND_SIZE + 1)
-        for band in range(N_HASHES // BAND_SIZE))
+def _bands_sql(n_hashes: int, band_size: int) -> str:
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, md5('%d' || %s) AS band_key FROM sigs"
+        % (band, " || ".join("chr(31) || mh%d" % (band * band_size + j)
+                             for j in range(band_size)))
+        for band in range(n_hashes // band_size))
+
+
+_PAIRS_SQL = """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_minhash_sql(n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> str:
     matches = " + ".join(
         "CASE WHEN sa.mh%d = sb.mh%d THEN 1 ELSE 0 END" % (i, i)
-        for i in range(N_HASHES))
+        for i in range(n_hashes))
     return """
     WITH shingles AS (%s),
     sigs AS (%s),
     bands AS (%s),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    pairs AS (%s)
     SELECT p.doc_a, p.doc_b, CAST(%s AS BIGINT) AS sig_matches
     FROM pairs p
     JOIN sigs sa ON p.doc_a = sa.doc_id
     JOIN sigs sb ON p.doc_b = sb.doc_id
-    """ % (_SHINGLES_SQL, _signatures_sql(), bands, matches)
+    """ % (_SHINGLES_SQL, _signatures_sql(n_hashes),
+           _bands_sql(n_hashes, band_size), _PAIRS_SQL, matches)
 
 
 # ---------------------------------------------------------------------
@@ -172,11 +203,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", sim.cast("long").alias("simhash16"))
 
 
+_SIMHASH_BIT_AGGS = ", ".join(
+    "sum(((h >> %d) & 1) * 2 - 1) AS s%d" % (b, b) for b in range(16))
+_SIMHASH_COMBINE = " + ".join(
+    "CASE WHEN s%d > 0 THEN %d ELSE 0 END" % (b, 1 << b) for b in range(16))
+
+
 def dedup_simhash_sql() -> str:
-    bit_aggs = ", ".join(
-        "sum(((h >> %d) & 1) * 2 - 1) AS s%d" % (b, b) for b in range(16))
-    sim = " + ".join(
-        "CASE WHEN s%d > 0 THEN %d ELSE 0 END" % (b, 1 << b) for b in range(16))
+    bit_aggs = _SIMHASH_BIT_AGGS
+    sim = _SIMHASH_COMBINE
     return """
     WITH words AS (
         SELECT doc_id, u.word
@@ -236,9 +271,145 @@ def dedup_ngram_jaccard_sql() -> str:
     """ % _SHINGLES_SQL
 
 
+# ---------------------------------------------------------------------
+# verify-after-LSH: exact Jaccard restricted to minhash candidate pairs
+# ---------------------------------------------------------------------
+
+def dedup_jaccard_verify(spark: SparkSession, sf_dir: str,
+                         max_df: int = MAX_DF) -> DataFrame:
+    """The scale path for exact n-gram Jaccard: compute it ONLY over the
+    minhash-LSH candidate pairs (the all-pairs shingle self-join in
+    dedup_ngram_jaccard is quadratic on hot shingles).  Shingles present
+    in more than ``max_df`` documents are dropped first — boilerplate
+    n-grams contribute no dedup signal and are exactly the hot join keys.
+    Worst-case fan-out is |candidate pairs| * shingles-per-doc."""
+    sh = _shingles(_docs(spark, sf_dir)).cache()
+    sh.count()  # materialize: feeds signatures, df counts, and both pair sides
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_df).select("shingle"))
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sigs = _signatures(sh)
+    pairs = _band_pairs(sigs, N_HASHES, BAND_SIZE)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    # candidate pairs with zero surviving shared shingles drop out of
+    # ``inter`` (inner join) — LSH false positives verified away
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (inter
+            .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", "inter",
+                    (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+                    .alias("union_n"))
+            .filter(F.col("inter") * 5 >= F.col("union_n")))
+
+
+def dedup_jaccard_verify_sql(max_df: int = MAX_DF) -> str:
+    return """
+    WITH shingles AS (%s),
+    kept AS (
+        SELECT doc_id, shingle FROM shingles
+        WHERE shingle IN (SELECT shingle FROM shingles
+                          GROUP BY shingle HAVING count(*) <= %d)
+    ),
+    sigs AS (%s),
+    bands AS (%s),
+    pairs AS (%s),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS inter
+        FROM pairs p
+        JOIN kept a ON a.doc_id = p.doc_a
+        JOIN kept b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter, sa.n + sb.n - i.inter AS union_n
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.inter * 5 >= sa.n + sb.n - i.inter
+    """ % (_SHINGLES_SQL, max_df, _signatures_sql(N_HASHES),
+           _bands_sql(N_HASHES, BAND_SIZE), _PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------
+# SimHash neighbour pairing: band the signature, bucket-join, exact
+# hamming filter (completes the simhash dedup path — signatures alone
+# can't pair)
+# ---------------------------------------------------------------------
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
+                        ham_max: int = HAM_MAX) -> DataFrame:
+    """Near-duplicate pairs by SimHash: 4 bands of 4 bits — any pair
+    within hamming distance 3 of the 16-bit signature must agree on at
+    least one band (pigeonhole), so the band bucket-join loses no true
+    pair; exact popcount(xor) then filters.  One shuffle per side of the
+    band join; fan-out follows the band-bucket histogram (AQE skew-join
+    handles hot buckets)."""
+    sims = dedup_simhash(spark, sf_dir).cache()
+    sims.count()  # materialize: feeds 4 band views on both join sides
+    bands = None
+    for band in range(4):
+        b = sims.select(
+            "doc_id", "simhash16", F.lit(band).alias("band"),
+            F.shiftright("simhash16", band * 4).bitwiseAND(F.lit(15))
+            .alias("band_val"))
+        bands = b if bands is None else bands.unionAll(b)
+    pairs = (bands.alias("a")
+             .join(bands.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash16").alias("sim_a"),
+                     F.col("b.simhash16").alias("sim_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (pairs.select("doc_a", "doc_b",
+                         hamming.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= ham_max))
+
+
+def dedup_simhash_pairs_sql(ham_max: int = HAM_MAX) -> str:
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, simhash16, %d AS band, (simhash16 >> %d) & 15 AS band_val"
+        " FROM sims" % (band, band * 4) for band in range(4))
+    return """
+    WITH words AS (
+        SELECT doc_id, u.word
+        FROM documents d,
+             LATERAL (SELECT unnest(list_filter(string_split(d.text, ' '),
+                                                x -> x != '')) AS word) u
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words
+    ),
+    bits AS (SELECT doc_id, %s FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST(%s AS BIGINT) AS simhash16 FROM bits),
+    bands AS (%s),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash16 AS sim_a, b.simhash16 AS sim_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= %d
+    """ % (_SIMHASH_BIT_AGGS, _SIMHASH_COMBINE, bands, ham_max)
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_sql()),
     "dedup_simhash": (dedup_simhash, dedup_simhash_sql()),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, dedup_simhash_pairs_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, dedup_ngram_jaccard_sql()),
+    "dedup_jaccard_verify": (dedup_jaccard_verify, dedup_jaccard_verify_sql()),
 }
