@@ -65,7 +65,7 @@ def dump_formats(parse_text):
     accumulates hasa counts across analyze() calls)."""
     from xrenner import Xrenner
     out = {}
-    for fmt in ("sgml", "conll", "onto", "unittest"):
+    for fmt in ("sgml", "conll", "conll_sent", "onto", "unittest"):
         engine = Xrenner(model=MODEL, rule_based=True, no_seq=True)
         out[fmt] = engine.analyze(parse_text, fmt)
     return out

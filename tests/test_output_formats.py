@@ -11,8 +11,8 @@ import pytest
 
 from xrenner_spark import load_lex
 from xrenner_spark.kernel import analyze_document
-from xrenner_spark.output import (output_conll, output_onto, output_sgml,
-                                  output_testcase)
+from xrenner_spark.output import (output_conll, output_conll_sent,
+                                  output_onto, output_sgml, output_testcase)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 DOCS = os.path.join(HERE, "fixtures", "docs")
@@ -40,9 +40,16 @@ def test_serializations_match_reference(golden_path, lex):
 
     assert output_sgml(result) == golden["formats"]["sgml"]
     assert output_conll(result, "untitled") == golden["formats"]["conll"]
+    if "conll_sent" in golden["formats"]:
+        assert output_conll_sent(result, "untitled") == \
+            golden["formats"]["conll_sent"]
     assert output_onto(result, "untitled") == golden["formats"]["onto"]
 
-    # the reference joins the split input lines back for the test format
+    # the reference joins the split input lines back for the test format;
+    # it embeds the parse AS CONSUMED by the engine, i.e. post-depedit
+    # (xrenner_xrenner.py:108-109 rewrites before anything else)
     ref_parse = parse.replace("\r", "")
+    if lex.depedit is not None:
+        ref_parse = lex.depedit.run(ref_parse)
     mine = output_testcase(result, ref_parse, model=lex.model_dir)
     assert mine == golden["formats"]["unittest"]

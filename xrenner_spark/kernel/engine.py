@@ -22,7 +22,8 @@ from .mentions import (is_atomic, make_markable, pos_func_combo,
 
 
 def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
-                              max_sentences: int = 500) -> "DocResult":
+                              max_sentences: int = 500,
+                              pre_rewritten: bool = False) -> "DocResult":
     """Giant-document guard: documents longer than ``max_sentences`` are
     split into sentence windows analyzed independently, with token ids and
     chain group ids rebased so the merged result stays document-global.
@@ -33,9 +34,11 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
     salting cannot fix skew, because one document is one kernel call).
     Documents at or under the threshold take the exact path.
     """
+    if lex.depedit is not None and not pre_rewritten:
+        conllu_text = lex.depedit.run(conllu_text)
     blocks = [b for b in conllu_text.replace("\r", "").split("\n\n") if b.strip()]
     if len(blocks) <= max_sentences:
-        return analyze_document(doc_id, conllu_text, lex)
+        return analyze_document(doc_id, conllu_text, lex, pre_rewritten=True)
 
     tokens: List[dict] = []
     mentions: List[dict] = []
@@ -44,7 +47,7 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
     group_base = 0
     for w in range(0, len(blocks), max_sentences):
         window = "\n\n".join(blocks[w:w + max_sentences])
-        part = analyze_document(doc_id, window, lex)
+        part = analyze_document(doc_id, window, lex, pre_rewritten=True)
         tok_base = n_tokens
         sent_base = n_sentences
         for tok in part.tokens:
@@ -89,7 +92,13 @@ class DocResult:
         self.n_tokens = n_tokens
 
 
-def analyze_document(doc_id: str, conllu_text: str, lex) -> DocResult:
+def analyze_document(doc_id: str, conllu_text: str, lex,
+                     pre_rewritten: bool = False) -> DocResult:
+    # depedit pre-rewriting runs before any parsing, exactly where the
+    # reference invokes it (xrenner_xrenner.py:108-109); pre_rewritten
+    # lets the Spark pipeline rewrite once for kernel + verb extraction
+    if lex.depedit is not None and not pre_rewritten:
+        conllu_text = lex.depedit.run(conllu_text)
     doc = parsing.read_document(conllu_text, lex)
     f = lex.filters
 

@@ -120,6 +120,11 @@ class LexModel:
     speaker_rules: List[CorefRule] = field(default_factory=list)
     non_speaker_rules: List[CorefRule] = field(default_factory=list)
 
+    # depedit.ini pre-rewriting engine (kernel/depedit_lite.DepEditLite),
+    # or None when the model ships no config — reference gates identically
+    # on "depedit.ini" in model_files (xrenner_xrenner.py:39-43)
+    depedit: Optional[object] = None
+
     # ------------------------------------------------------------------
     # token-level helpers used by the kernel
     # ------------------------------------------------------------------
@@ -176,8 +181,29 @@ def _load_filters(model_dir: str) -> Filters:
 
 
 def load_lex(model_dir: Optional[str] = None) -> LexModel:
-    """Load a model directory into a broadcastable LexModel."""
+    """Load a model directory — or a zipped ``.xrm`` model, the format
+    distributed models ship in (reference xrenner_lex.py:87-99 reads the
+    same files through ZipFile handles; we unpack to a tempdir and load
+    identically) — into a broadcastable LexModel."""
     model_dir = os.path.abspath(model_dir or DEFAULT_MODEL_DIR)
+    if os.path.isfile(model_dir):
+        import tempfile
+        import zipfile
+        if not zipfile.is_zipfile(model_dir):
+            raise IOError("model path is a file but not a zip model: %s"
+                          % model_dir)
+        tmp = tempfile.mkdtemp(prefix="xrm_model_")
+        with zipfile.ZipFile(model_dir) as zf:
+            zf.extractall(tmp)
+        model_dir = tmp
+        if not os.path.isfile(os.path.join(tmp, "config.ini")):
+            # zip wraps the model files in a single top-level folder
+            subdirs = [d for d in os.listdir(tmp)
+                       if os.path.isdir(os.path.join(tmp, d))]
+            for d in subdirs:
+                if os.path.isfile(os.path.join(tmp, d, "config.ini")):
+                    model_dir = os.path.join(tmp, d)
+                    break
     if not os.path.isdir(model_dir):
         raise IOError("model directory not found: %s" % model_dir)
 
@@ -350,4 +376,10 @@ def load_lex(model_dir: Optional[str] = None) -> LexModel:
         lex.speaker_rules.append(rule)
         if "speaker" not in line:
             lex.non_speaker_rules.append(CorefRule(line, rule_num, thresh=rule.thresh))
+
+    # --- depedit pre-rewriting (xrenner_xrenner.py:39-43) --------------
+    if have("depedit.ini"):
+        from .kernel.depedit_lite import DepEditLite
+        with io.open(path("depedit.ini"), encoding="utf8") as fh:
+            lex.depedit = DepEditLite(fh.read().split("\n"))
     return lex

@@ -76,6 +76,58 @@ def output_conll(result, docname: str, output_infstat: bool = False) -> str:
     return "\n".join(lines) + "\n\n"
 
 
+def output_conll_sent(result, docname: str, output_infstat: bool = True,
+                      output_entity: bool = True) -> str:
+    """CoNLL bracket notation with per-sentence token renumbering and a
+    blank line before every sentence (reference xrenner_out.py:136-193;
+    the engine dispatches it with output_infstat=True,
+    xrenner_xrenner.py:385-386).  Reference quirks preserved: the
+    infstat column is empty (not '_') on non-start tokens, and the
+    ``(1|2`` pipe separator is only inserted after a bare digit, so with
+    entity suffixes adjacent groups concatenate directly."""
+    markstart, markend = _spans(result.mentions)
+    out = "# begin document " + docname + "\n"
+    current_sent = None
+    i = 0
+    for tok in result.tokens:
+        tid = tok["tid"]
+        if current_sent != tok["sent_num"]:
+            current_sent = tok["sent_num"]
+            out += "\n"
+            i = 0
+        i += 1
+        coref_col = ""
+        infstat_col = ""
+        ends_here = list(markend.get(tid, []))
+        starts_here = markstart.get(tid, [])
+        for m in sorted(starts_here, key=lambda m: m["end"], reverse=True):
+            coref_col += "(" + str(m["group_id"])
+            if output_entity:
+                coref_col += "-" + m["entity"]
+            if output_infstat:
+                infstat_col = m["infstat"]
+            if m in ends_here:
+                coref_col += ")"
+                ends_here.remove(m)
+        for m in ends_here:
+            if m in starts_here:
+                coref_col += ")"
+            else:
+                if coref_col and coref_col[-1].isdigit():
+                    coref_col += "|"
+                coref_col += str(m["group_id"])
+                if output_entity:
+                    coref_col += "-" + m["entity"]
+                coref_col += ")"
+        if tid not in markstart and tid not in markend:
+            coref_col = "_"
+        if coref_col == "":
+            coref_col = "_"
+        out += "%d\t%s\t%s\t%s\n" % (i, tok["text"], infstat_col, coref_col)
+    out += "# end document\n\n"
+    return out
+
+
 def output_onto(result, docname: str) -> str:
     """OntoNotes .coref XML (reference xrenner_out.py:30-58)."""
     markstart, markend = _spans(result.mentions)
@@ -98,7 +150,11 @@ def output_onto(result, docname: str) -> str:
 
 def output_testcase(result, parse: str, model: str = "web", name: str = "test") -> str:
     """The reference's unit-test golden format: counts + chains in
-    ``start_end < start_end`` notation (reference xrenner_test.py:19-76)."""
+    ``start_end < start_end`` notation (reference xrenner_test.py:19-76).
+
+    ``parse`` must be the text the engine actually consumed: when the
+    model ships a depedit.ini, pass ``lex.depedit.run(raw_parse)`` — the
+    reference embeds the post-rewrite parse."""
     marks_by_group: Dict[str, List[dict]] = {}
     for m in result.mentions:
         marks_by_group.setdefault(str(m["group_id"]), []).append(m)

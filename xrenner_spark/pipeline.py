@@ -293,10 +293,14 @@ def kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
             for rec in pdf.itertuples(index=False):
                 t0 = time.perf_counter()
                 try:
-                    result = analyze_document_windowed(rec.url, rec.conllu, lex)
+                    conllu = rec.conllu
+                    if lex.depedit is not None:  # rewrite once for both consumers
+                        conllu = lex.depedit.run(conllu)
+                    result = analyze_document_windowed(rec.url, conllu, lex,
+                                                       pre_rewritten=True)
                     mentions = [tuple(m[k] for k in _MENTION_FIELDS)
                                 for m in result.mentions]
-                    verbs = sorted(parse_verbs(rec.conllu).items())
+                    verbs = sorted(parse_verbs(conllu).items())
                     n_sent, n_tok = result.n_sentences, result.n_tokens
                     error = ""
                 except Exception as exc:  # per-doc isolation: one bad page
@@ -339,7 +343,10 @@ def fused_extract_kernel_stage(pages: DataFrame, lex_broadcast) -> DataFrame:
                     if extracted != rec.text:
                         raise ValueError("byte-identity violation for " + rec.url)
                     conllu = extract_conllu(rec.html)
-                    result = analyze_document_windowed(rec.url, conllu, lex)
+                    if lex.depedit is not None:  # rewrite once for both consumers
+                        conllu = lex.depedit.run(conllu)
+                    result = analyze_document_windowed(rec.url, conllu, lex,
+                                                       pre_rewritten=True)
                     mentions = [tuple(m[k] for k in _MENTION_FIELDS)
                                 for m in result.mentions]
                     verbs = sorted(parse_verbs(conllu).items())
