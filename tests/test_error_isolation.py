@@ -1,7 +1,7 @@
 """One corrupt page must not kill a partition: the kernel stage records
-the error on that row and processes every other document normally."""
-
-from pyspark.sql import functions as F
+the error on that page's doc row and processes every other document
+normally (long-format output: 'd' doc rows carry metrics/errors, 'm'
+rows are mentions)."""
 
 from xrenner_spark.lex import load_lex
 from xrenner_spark.pipeline import (PAGES_SCHEMA, fused_extract_kernel_stage,
@@ -20,9 +20,14 @@ def test_corrupt_pages_are_isolated(spark):
 
     bcast = spark.sparkContext.broadcast(load_lex())
     out = fused_extract_kernel_stage(pages, bcast).collect()
-    assert len(out) == 10
-    errors = {r.url: r.error for r in out if r.error != ""}
+    docs = [r for r in out if r.row_type == "d"]
+    assert len(docs) == 10
+    errors = {r.url: r.error for r in docs if r.error != ""}
     assert len(errors) == 2
     assert any("byte-identity" in e for e in errors.values())
-    good = [r for r in out if r.error == ""]
-    assert all(len(r.mentions) > 0 for r in good)
+    mention_urls = {r.url for r in out if r.row_type == "m"}
+    for r in docs:
+        if r.error == "":
+            assert r.url in mention_urls
+        else:
+            assert r.url not in mention_urls

@@ -35,10 +35,11 @@ def test_byte_identity_invariant(spark, warehouse):
 
 
 def test_kernel_stage_clean(spark, warehouse):
+    from xrenner_spark.pipeline import docs_view
     cat = Catalog(spark, warehouse)
-    kernel_out = cat.read("stage_kernel")
-    assert kernel_out.count() == N_DOCS
-    assert kernel_out.filter(kernel_out.error != "").count() == 0
+    docs = docs_view(cat.read("stage_kernel"))
+    assert docs.count() == N_DOCS
+    assert docs.filter(docs.error != "").count() == 0
 
 
 def test_sql_triples_match_python_extractor(spark, warehouse):

@@ -72,6 +72,9 @@ def mention_rate_stream(kernel_out: DataFrame, window: str = "1 hour",
     return (kernel_out
             .withWatermark("warc_ts", watermark)
             .groupBy(F.window("warc_ts", window), "lang")
-            .agg(F.count("*").alias("docs"),
-                 F.sum(F.size("mentions")).alias("mentions"),
-                 F.sum(F.when(F.col("error") != "", 1).otherwise(0)).alias("errors")))
+            .agg(F.sum(F.when(F.col("row_type") == "d", 1).otherwise(0))
+                 .alias("docs"),
+                 F.sum(F.when(F.col("row_type") == "m", 1).otherwise(0))
+                 .alias("mentions"),
+                 F.sum(F.when(F.col("error") != "", 1).otherwise(0))
+                 .alias("errors")))
