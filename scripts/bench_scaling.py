@@ -79,7 +79,14 @@ def reference_throughput(n_docs: int = 200):
 def main():
     burn = {p: cpu_ceiling(p) for p in (N_SMALL, N_BIG, N_CAP)}
     ref = reference_throughput()
-    results = {c: run_bench(c) for c in (N_SMALL, N_BIG, N_CAP)}
+    # the sandbox host's available CPU oscillates with external tenancy
+    # (measured md5 8->32 scaling swings between 2.6x and 3.3x within an
+    # hour) — record a 32-proc canary immediately before each config so
+    # slow windows are visible next to the number they taint
+    results, canaries = {}, {}
+    for c in (N_SMALL, N_BIG, N_CAP):
+        canaries[c] = cpu_ceiling(32)
+        results[c] = run_bench(c)
     r_small, r_big, r_cap = results[N_SMALL], results[N_BIG], results[N_CAP]
 
     eff = r_big["docs_per_sec"] / (4.0 * r_small["docs_per_sec"])
@@ -102,6 +109,10 @@ def main():
              "8->32 procs yields %.2fx even for pure hashing (SMT), so the "
              "honest N->4N window on this host is %d->%d cores.\n\n"
              % (hw_8_32, N_SMALL, N_BIG))
+    md.write("32-proc md5 canary immediately before each config "
+             "(external-tenancy visibility): %s Mhash/s.\n\n"
+             % ", ".join("local[%d]: %.1f" % (c, canaries[c])
+                         for c in (N_SMALL, N_BIG, N_CAP)))
     md.write("## N -> 4N scaling (local[%d] -> local[%d], identical input)\n\n"
              % (N_SMALL, N_BIG))
     md.write("| metric | local[%d] | local[%d] | scaling efficiency |\n|---|---|---|---|\n"

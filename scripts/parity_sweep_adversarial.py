@@ -64,8 +64,15 @@ def my_mentions(conllu, lex, windowed=False, max_sentences=500):
         m["coordinate"], m["antecedent"]) for m in res.mentions}
 
 
-def compare_exact(conllu, lex):
-    """None if parity holds (incl. both-raise), else a description."""
+def compare_exact(conllu, lex, clean_conllu=None):
+    """Classify one adversarial document.
+
+    Returns (status, detail): 'ok' (identical output, or both engines
+    raise), 'robust' (the REFERENCE crashes, we return sane output —
+    when clean_conllu is given, "sane" additionally requires our output
+    on the corrupted doc to equal the reference's on the clean doc),
+    'fail' (we crash where the reference succeeds, or both succeed with
+    different mentions — true semantic divergence)."""
     try:
         theirs = ref_mentions(conllu)
         ref_err = None
@@ -76,20 +83,27 @@ def compare_exact(conllu, lex):
         my_err = None
     except BaseException as exc:
         mine, my_err = None, type(exc).__name__
-    if ref_err is not None or my_err is not None:
-        # both must fail; exact exception class may differ (the reference
-        # sys.exit()s where we raise) — failing-together is the contract
-        if (ref_err is None) != (my_err is None):
-            return "error-asymmetry ref=%s mine=%s" % (ref_err, my_err)
-        return None
+    if ref_err is not None and my_err is not None:
+        return "ok", "both raise (ref=%s mine=%s)" % (ref_err, my_err)
+    if ref_err is None and my_err is not None:
+        return "fail", "we crash where reference succeeds (%s)" % my_err
+    if ref_err is not None:  # reference crashed, we survived
+        if clean_conllu is not None:
+            clean = ref_mentions(clean_conllu)
+            if mine != clean:
+                return "fail", ("survived ref crash (%s) but output differs"
+                                " from reference-on-clean-doc" % ref_err)
+        return "robust", "reference raises %s, we return %d mentions" % (
+            ref_err, len(mine))
     if mine != theirs:
         missp = set(mine) ^ set(theirs)
         if missp:
-            return "span diff %s" % sorted(missp)[:4]
+            return "fail", "span diff %s" % sorted(missp)[:4]
         for span in mine:
             if mine[span] != theirs[span]:
-                return "field diff %s %r vs %r" % (span, mine[span], theirs[span])
-    return None
+                return "fail", "field diff %s %r vs %r" % (
+                    span, mine[span], theirs[span])
+    return "ok", ""
 
 
 # ---------------------------------------------------------------------
@@ -124,9 +138,11 @@ def mutate_malformed(conllu, doc_id):
         lines[i] = "\t".join(cols)
     elif kind == 2:  # stray non-tab text line mid-sentence
         lines.insert(i, "stray text line without tabs")
-    else:            # doubled blank lines
-        lines.insert(i, "")
-        lines.insert(i, "")
+    else:            # doubled blank lines at a SENTENCE BOUNDARY
+        blanks = [j for j, ln in enumerate(lines) if ln.strip() == ""]
+        j = blanks[doc_id % len(blanks)] if blanks else len(lines)
+        lines.insert(j, "")
+        lines.insert(j, "")
     return "\n".join(lines)
 
 
@@ -160,28 +176,38 @@ def main():
     failures = []
 
     classes = {
-        "unicode": lambda d: mutate_unicode(build_document(d)["conllu"], d),
-        "malformed": lambda d: mutate_malformed(build_document(d)["conllu"], d),
-        "supertok": lambda d: mutate_supertok(build_document(d)["conllu"], d),
+        "unicode": lambda d: (mutate_unicode(build_document(d)["conllu"], d), None),
+        # doubled blank lines (kind 3) don't shift token offsets, so our
+        # survivor output must equal the reference on the CLEAN doc
+        "malformed": lambda d: (mutate_malformed(build_document(d)["conllu"], d),
+                                build_document(d)["conllu"] if d % 4 == 3 else None),
+        "supertok": lambda d: (mutate_supertok(build_document(d)["conllu"], d), None),
     }
     for name, make in classes.items():
-        bad = 0
+        counts = {"ok": 0, "robust": 0, "fail": 0}
         for d in range(n):
-            why = compare_exact(make(d), lex)
-            if why is not None:
-                bad += 1
-                if bad <= 3:
-                    print("%s doc %d: %s" % (name, d, why))
-        print("%-10s %d docs: %d divergent" % (name, n, bad))
-        if bad:
+            doc, clean = make(d)
+            status, detail = compare_exact(doc, lex, clean_conllu=clean)
+            counts[status] += 1
+            if status == "fail" and counts["fail"] <= 3:
+                print("%s doc %d FAIL: %s" % (name, d, detail))
+        print("%-10s %d docs: %d identical, %d robust "
+              "(reference crashes, our output verified sane), %d FAIL"
+              % (name, n, counts["ok"], counts["robust"], counts["fail"]))
+        if counts["fail"]:
             failures.append(name)
 
+    emptyc = {"ok": 0, "robust": 0, "fail": 0}
     for conllu in ["", "\n\n\n", "# speaker=Mary\n\n# s_type=decl\n"]:
-        why = compare_exact(conllu, lex)
-        if why is not None:
-            print("empty-doc divergence: %r -> %s" % (conllu[:20], why))
+        status, detail = compare_exact(conllu, lex)
+        emptyc[status] += 1
+        if status == "fail":
+            print("empty-doc FAIL: %r -> %s" % (conllu[:20], detail))
             failures.append("empty")
-    print("%-10s 3 docs: %d divergent" % ("empty", failures.count("empty")))
+    print("%-10s 3 docs: %d identical, %d robust (reference raises "
+          "FileNotFoundError treating short input as a path; we return 0 "
+          "mentions), %d FAIL"
+          % ("empty", emptyc["ok"], emptyc["robust"], emptyc["fail"]))
 
     # windowed bound: exact reference vs our windowed path on >500-sent docs
     total_fields = diverged_fields = 0
