@@ -74,18 +74,47 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: treat generated page html as the opaque
-    binary payload; rows-only check (byte plumbing is not SQL-expressible
-    in the oracle engine)."""
+    binary payload.  The payload table is exported to parquet so the
+    DuckDB oracle can recompute every output — byte length, magic-bytes
+    mime sniff, and the high-nibble histogram bins (via hex-string
+    positional counting) — independently of the Arrow/numpy path."""
     from ..pipeline import generate_pages
+    from .kg_oracle import EXPORT_DIR
     pages = generate_pages(spark, 200, partitions=4)
-    features = extract_features(
-        pages.select("url", F.col("html").alias("payload")))
+    path = EXPORT_DIR + "/payloads.parquet"
+    pages.select("url", F.col("html").alias("payload")) \
+        .write.mode("overwrite").parquet(path)
+    features = extract_features(spark.read.parquet(path))
     return features.select(
         "url", "n_bytes", "mime_guess",
         F.element_at("byte_histogram", 1).alias("bin0"),
         F.element_at("byte_histogram", 8).alias("bin7"))
 
 
+def _multimodal_sql() -> str:
+    from .kg_oracle import EXPORT_DIR
+
+    def nibble_count(hexchar):
+        return ("CAST(len(list_filter(range(1, octet_length(payload) + 1), "
+                "i -> substr(hx, 2*i - 1, 1) = '%s')) AS BIGINT)" % hexchar)
+
+    return """
+    WITH d AS (SELECT url, payload, hex(payload) AS hx
+               FROM read_parquet('{path}/*.parquet'))
+    SELECT url,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CASE WHEN hx LIKE '89504E47%' THEN 'image/png'
+                WHEN hx LIKE 'FFD8%' THEN 'image/jpeg'
+                WHEN lower(substr(CAST(payload AS VARCHAR), 1, 5)) = '<html'
+                     THEN 'text/html'
+                ELSE 'application/octet-stream' END AS mime_guess,
+           {bin0} AS bin0,
+           {bin7} AS bin7
+    FROM d
+    """.format(path=EXPORT_DIR + "/payloads.parquet",
+               bin0=nibble_count("0"), bin7=nibble_count("7"))
+
+
 QUERIES = {
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, _multimodal_sql()),
 }

@@ -243,7 +243,94 @@ def _ann_lsh_sql() -> str:
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
+# ---------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (dedup by vector similarity)
+# ---------------------------------------------------------------------
+
+COS_T2_NUM, COS_T2_DEN = 16, 100  # tau = 0.4: cos >= tau <=> den*dot^2 >= num*|a|^2*|b|^2
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= 0.4, restricted to the
+    random-hyperplane LSH candidate pairs (same tables/cap as
+    ann_lsh_bucket — at 10^12 rows the all-pairs test is quadratic).
+    The test stays in exact int64 arithmetic: vectors are unit-norm, so
+    with round(x*1000) quantization den*dot^2 <= 1e14 and
+    num*|a|^2*|b|^2 <= 1.6e13 both fit comfortably."""
+    vecs = _quantized(spark, sf_dir).withColumn("n2", _dot("q", "q"))
+    sig = (vecs.select("vec_id", "q", "n2",
+                       F.posexplode(_all_buckets_expr()))
+           .withColumnRenamed("pos", "table_id")
+           .withColumnRenamed("col", "bucket"))
+    grouped = (sig.groupBy("table_id", "bucket")
+               .agg(F.collect_list(F.struct("vec_id", "q", "n2")).alias("members"))
+               .filter((F.size("members") >= 2)
+                       & (F.size("members") <= MAX_BUCKET)))
+
+    def _pair(a, b):
+        dot = F.aggregate(F.zip_with(a["q"], b["q"], lambda x, y: x * y),
+                          F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return F.struct(a["vec_id"].alias("vec_a"),
+                        b["vec_id"].alias("vec_b"), dot.alias("dot"),
+                        a["n2"].alias("na2"), b["n2"].alias("nb2"))
+
+    pairs = (grouped.select(F.explode(F.flatten(F.transform(
+                 "members", lambda a: F.transform(
+                     F.filter("members", lambda b: a["vec_id"] < b["vec_id"]),
+                     lambda b: _pair(a, b))))).alias("p"))
+             .select("p.vec_a", "p.vec_b", "p.dot", "p.na2", "p.nb2"))
+    return (pairs.groupBy("vec_a", "vec_b")
+            .agg(F.min("dot").alias("dot"),
+                 F.min("na2").alias("na2"), F.min("nb2").alias("nb2"))
+            .filter((F.col("dot") > 0)
+                    & (F.col("dot") * F.col("dot") * COS_T2_DEN
+                       >= F.col("na2") * F.col("nb2") * COS_T2_NUM))
+            .select("vec_a", "vec_b", "dot"))
+
+
+def _dedup_cosine_sql() -> str:
+    sig = "\n        UNION ALL ".join(
+        "SELECT vec_id, q, n2, %d AS table_id, %s AS bucket FROM n"
+        % (t, _bucket_sql_expr(t)) for t in range(N_TABLES))
+    return """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x*x)) AS n2 FROM q),
+    sig AS (
+        {sig}
+    ),
+    sizes AS (SELECT table_id, bucket, count(*) AS bsz
+              FROM sig GROUP BY table_id, bucket),
+    ok AS (SELECT s.vec_id, s.table_id, s.bucket
+           FROM sig s JOIN sizes z
+             ON s.table_id = z.table_id AND s.bucket = z.bucket
+           WHERE z.bsz <= {cap}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM ok a JOIN ok b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.vec_a, c.vec_b,
+               list_sum(list_transform(list_zip(na.q, nb.q), t -> t[1]*t[2]))
+                   AS dot,
+               na.n2 AS na2, nb.n2 AS nb2
+        FROM cand c
+        JOIN n na ON c.vec_a = na.vec_id
+        JOIN n nb ON c.vec_b = nb.vec_id
+    )
+    SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot
+    FROM scored
+    WHERE dot > 0 AND dot * dot * {den} >= na2 * nb2 * {num}
+    """.format(sig=sig, cap=MAX_BUCKET, num=COS_T2_NUM, den=COS_T2_DEN)
+
+
 QUERIES = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "ann_lsh_bucket": (ann_lsh_bucket, ANN_LSH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _dedup_cosine_sql()),
 }
