@@ -25,12 +25,28 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_HASHES = 8
 BAND_SIZE = 2   # 4 bands of 2 -> candidate if any band matches
 MAX_DF = 100    # jaccard_verify: drop shingles in more docs than this
 HAM_MAX = 3     # simhash_pairs: near-dup threshold (16-bit signature)
+
+# minhash permutations: ONE md5 per shingle, then cheap integer mixes
+# ((h*A_i + B_i) mod M) per permutation — 64 string-md5 min-aggregations
+# measured 25x slower at 64 hashes.  M = 2^31-1 keeps every product
+# below 2^62 (overflow-safe int64 in both engines); A/B are seeded md5
+# constants so Spark and DuckDB compute bit-identical signatures.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _mix_consts(i: int):
+    d = hashlib.md5(("mh|%d" % i).encode("utf8")).digest()
+    a = (int.from_bytes(d[:4], "big") % (MINHASH_PRIME - 1)) + 1
+    b = int.from_bytes(d[4:8], "big") % MINHASH_PRIME
+    return a, b
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,15 +113,24 @@ DEDUP_EXACT_SQL = """
 # ---------------------------------------------------------------------
 
 def _signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    aggs = [F.min(F.md5(F.concat(F.lit(str(seed) + "|"), F.col("shingle"))))
-            .alias("mh%d" % seed) for seed in range(n_hashes)]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    h = (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+         % MINHASH_PRIME)
+    hashed = shingles.select("doc_id", h.alias("h"))
+    aggs = []
+    for seed in range(n_hashes):
+        a, b = _mix_consts(seed)
+        aggs.append(F.min((F.col("h") * a + b) % MINHASH_PRIME)
+                    .alias("mh%d" % seed))
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _signatures_sql(n_hashes: int = N_HASHES) -> str:
     mins = ", ".join(
-        "min(md5('%d|' || shingle)) AS mh%d" % (seed, seed) for seed in range(n_hashes))
-    return "SELECT doc_id, %s FROM shingles GROUP BY doc_id" % mins
+        "min((h * %d + %d) %% %d) AS mh%d"
+        % (_mix_consts(seed) + (MINHASH_PRIME, seed)) for seed in range(n_hashes))
+    return ("SELECT doc_id, %s FROM (SELECT doc_id, "
+            "(('0x' || substr(md5(shingle), 1, 15))::BIGINT %% %d) AS h "
+            "FROM shingles) GROUP BY doc_id" % (mins, MINHASH_PRIME))
 
 
 def _band_pairs(sigs: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
