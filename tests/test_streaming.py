@@ -72,3 +72,29 @@ def test_mention_rate_stream_plan(spark):
     rows = mention_rate_stream(kernel_out).collect()
     assert sum(r.docs for r in rows) == 25
     assert all(r.errors == 0 for r in rows)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a page repeated in a later micro-batch is
+    dropped by the cross-batch state; first occurrences pass through."""
+    from xrenner_spark.streaming import read_pages_stream, streaming_dedup
+
+    source = str(tmp_path / "dedup_stream")
+    out = str(tmp_path / "dedup_out")
+    _drop_pages(spark, source, 0, 10)
+    _drop_pages(spark, source, 5, 15)   # docs 5-9 are exact repeats
+
+    stream = read_pages_stream(spark, source, max_files_per_trigger=1)
+    q = (streaming_dedup(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    # 15 distinct documents survive out of 20 arrivals
+    assert len(rows) == 15
+    assert len({r.content_hash for r in rows}) == 15
+    # deterministic corpus: every doc id appears exactly once
+    urls = sorted(r.url for r in rows)
+    assert len(set(urls)) == 15

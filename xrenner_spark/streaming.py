@@ -65,6 +65,50 @@ def stream_pipeline(spark: SparkSession, source_dir: str, out_dir: str,
     return writer.start()
 
 
+def streaming_dedup(pages: DataFrame) -> DataFrame:
+    """Cross-batch exact deduplication as a custom stateful operator
+    (applyInPandasWithState): the first page with a given content hash
+    passes through, every later arrival — in the same OR any later
+    micro-batch — is dropped, with per-group state carrying the
+    seen-count across batches.  This is the stateful streaming primitive
+    a training-data ingest pipeline needs (the batch dedup operators
+    can't see across micro-batches)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("dup_of_prior_batch", T.BooleanType()),
+    ])
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def dedup_group(key, pdf_iter, state):
+        seen = state.get[0] if state.exists else 0
+        had_prior = seen > 0
+        out = []
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                if seen == 0:
+                    out.append({"content_hash": key[0], "url": row.url,
+                                "warc_ts": row.warc_ts, "text": row.text,
+                                "lang": row.lang,
+                                "dup_of_prior_batch": had_prior})
+                seen += 1
+        state.update((seen,))
+        cols = [f.name for f in out_schema.fields]
+        yield pd.DataFrame(out, columns=cols)
+
+    hashed = pages.withColumn("content_hash", F.md5("text"))
+    return (hashed.groupBy("content_hash")
+            .applyInPandasWithState(dedup_group, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def mention_rate_stream(kernel_out: DataFrame, window: str = "1 hour",
                         watermark: str = "1 day") -> DataFrame:
     """Watermarked event-time aggregation: mentions/docs per warc_ts
