@@ -1,0 +1,44 @@
+"""DepEditLite behavior pinned against the reference DepEdit engine:
+tests/fixtures/depedit_cases.json stores (input, output) pairs produced
+by running the reference with models/web/depedit.ini (sandbox-only
+capture, like the goldens), so CI enforces byte-identical rewriting
+without needing the reference at runtime."""
+
+import io
+import json
+import os
+
+import pytest
+
+from xrenner_spark.kernel.depedit_lite import DepEditLite
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+MODEL_INI = os.path.join(HERE, "..", "xrenner_spark", "models", "web",
+                         "depedit.ini")
+
+
+def _engine():
+    with io.open(MODEL_INI, encoding="utf8") as fh:
+        return DepEditLite(fh.read().split("\n"))
+
+
+def _cases():
+    path = os.path.join(HERE, "fixtures", "depedit_cases.json")
+    return sorted(json.load(io.open(path, encoding="utf8")).items())
+
+
+@pytest.mark.parametrize("name,case", _cases(), ids=[n for n, _ in _cases()])
+def test_rewrite_matches_reference(name, case):
+    assert _engine().run(case["input"]) == case["output"]
+
+
+@pytest.mark.parametrize("bad", [
+    "func=/a/;func=/b/\t#1>#2;#2.#3\t#1:func=x",   # multi-relation chain
+    "func=/a/\tnone\t#S:foo=bar",                   # sentence annotation
+    "{var}=/x/",                                    # variables
+    "badattr=/x/\tnone\t#1:func=y",                 # unknown attribute
+    "func=/a/\t#1:text==#2\t#1:func=y",             # == field equality
+])
+def test_unsupported_constructs_raise(bad):
+    with pytest.raises(ValueError):
+        DepEditLite([bad])
