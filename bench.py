@@ -19,9 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# documents per KG run: 4x the documents table so the kernel stage has
-# real work at every sf (pages are synthesized deterministically)
-DOC_MULTIPLIER = int(os.environ.get("SPARK_GRAFT_DOC_MULT", "4"))
+# documents per KG run: 10x the documents table so the kernel stage has
+# real work at every sf (pages are synthesized deterministically; fixed
+# session costs amortize with run size — 20k-doc runs measured 1.7-4.1k
+# docs/s vs 7.9k at 500k, see BENCH/BASELINE.md — so the bench corpus is
+# sized to keep one run ~a minute while staying amortization-honest)
+DOC_MULTIPLIER = int(os.environ.get("SPARK_GRAFT_DOC_MULT", "10"))
 
 
 def _noop_write(df):
