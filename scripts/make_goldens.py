@@ -21,7 +21,8 @@ import warnings
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = os.environ.get("XRENNER_REFERENCE", "/root/reference")
-MODEL = os.path.join(REPO, "xrenner_spark", "models", "web")
+MODEL = os.environ.get(
+    "XRENNER_MODEL", os.path.join(REPO, "xrenner_spark", "models", "web"))
 
 warnings.filterwarnings("ignore")
 sys.path.insert(0, REFERENCE)

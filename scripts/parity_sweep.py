@@ -20,7 +20,8 @@ from xrenner_spark import load_lex  # noqa: E402
 from xrenner_spark.corpus import build_document  # noqa: E402
 from xrenner_spark.kernel import analyze_document  # noqa: E402
 
-MODEL = os.path.join(REPO, "xrenner_spark/models/web")
+MODEL = os.environ.get(
+    "XRENNER_MODEL", os.path.join(REPO, "xrenner_spark/models/web"))
 
 
 def partitions(items, key):
@@ -33,7 +34,7 @@ def partitions(items, key):
 def main():
     start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     end = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-    lex = load_lex()
+    lex = load_lex(MODEL)
     bad = []
     for doc_id in range(start, end):
         conllu = build_document(doc_id)["conllu"]

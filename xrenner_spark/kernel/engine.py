@@ -156,9 +156,15 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
     parsing.add_child_info(doc, upto)
     parsing.add_negated_parents(doc, tokoffset, upto)
     parsing.set_positions(doc, tokoffset, upto, sentence)
+    # stop_ids is seeded before the postprocess hook and threaded through
+    # to find_stop_zones, matching the reference's lifecycle
+    # (xrenner_xrenner.py:431-443 init, :441-442 postprocess hook)
+    stop_ids = {tok.tid: False for tok in toks[tokoffset + 1:upto + 1]}
+    if f["postprocess_parser"]:
+        parsing.postprocess_parser(doc, tokoffset, upto, stop_ids)
     parsing.replace_conj_func(doc, tokoffset, upto)
     parsing.attach_modifiers_and_learn_hasa(doc, tokoffset, upto)
-    stop_ids = parsing.find_stop_zones(doc, tokoffset, upto)
+    parsing.find_stop_zones(doc, tokoffset, upto, stop_ids)
     parsing.build_descendants(doc, tokoffset, upto)
     descendants = doc.descendants
 

@@ -11,7 +11,7 @@ detection and the per-sentence descendant closure.
 from __future__ import annotations
 
 import re
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from .classes import DocState, Sentence, Token
 
@@ -199,17 +199,210 @@ def attach_modifiers_and_learn_hasa(doc: DocState, tokoffset: int, upto: int):
                 doc.hasa_add(tok.lemma, head2.text, 1)
 
 
-def find_stop_zones(doc: DocState, tokoffset: int, upto: int) -> Dict[int, bool]:
-    """Tokens that cannot head markables: stop-list n-grams and
-    first+last name pairs (reference xrenner_xrenner.py:466-542)."""
-    lex = doc.lex
-    stop_ids: Dict[int, bool] = {}
-    toks = doc.tokens
-    for tok in toks[tokoffset + 1:upto + 1]:
-        stop_ids[tok.tid] = False
+def lookup_has_entity(text: str, lemma: str, entity: str, lex) -> bool:
+    """Check whether a token's text or lemma carries ``entity`` in the
+    entities / entity_heads gazetteers (reference xrenner_marker.py:813-832).
 
-    # stop-list n-grams, window of up to 4 tokens from each start
+    The reference stores each gazetteer row as the tab-joined string
+    "entity\\tsubclass\\tfreq" and runs ``re.search(entity + "\\t", row)``
+    — an unanchored search, so a subclass exactly equal to ``entity`` (or
+    an entity whose *suffix* is ``entity``) also matches.  We rebuild the
+    joined string from our tuple rows to keep that quirk bit-for-bit."""
+    pat = entity + "\t"
+
+    def hit(entries):
+        return any(
+            re.search(pat, "%s\t%s\t%s" % (ent, sub, freq)) is not None
+            for ent, sub, freq in entries)
+
+    if text in lex.entities:
+        return hit(lex.entities[text])
+    if lemma in lex.entities:
+        return hit(lex.entities[lemma])
+    if text in lex.entity_heads:
+        return hit(lex.entity_heads[text])
+    if lemma in lex.entity_heads:
+        return hit(lex.entity_heads[lemma])
+    return False
+
+
+def postprocess_parser(doc: DocState, tokoffset: int, upto: int,
+                       stop_ids: Dict[int, bool]):
+    """Entity-list-driven parse repair, run only when the model sets
+    ``postprocess_parser=True`` (reference xrenner_preprocess.py:49-104):
+    -LSB-/-RSB- bracket fixes, re-heading of tokens inside known
+    multi-token entities, two apposition-misparse fixes (MaltParser name
+    appositions and Stanford city-,-state appositions) and removal of
+    children projecting beyond an apposition.
+
+    Mutates token pos/func/head, ``doc.children`` and ``stop_ids`` in
+    place, in the reference's exact iteration order — including its
+    quirks (e.g. the -LSB- fix does not detach the token from its old
+    head's child list)."""
+    lex = doc.lex
+    f = lex.filters
+    toks = doc.tokens
+    children = doc.children
+    mark_head_re = f["mark_head_pos"]
+    appos_re = f["apposition_func"]
+    proper_re = f["proper_pos"]
+    non_link_re = f["non_link_func"]
+
     for tok1 in toks[tokoffset + 1:upto + 1]:
+        if tok1.text == "-LSB-" or tok1.text == "-RSB-":
+            tok1.pos = tok1.text
+            tok1.func = "punct"
+            tok1.head = 0
+
+        # re-head tokens inside known multi-token entities whose rightmost
+        # token attaches outside the entity (xrenner_preprocess.py:54-75)
+        if mark_head_re.match(tok1.pos) is not None:
+            entity_candidate = tok1.text + " "
+            for tok2 in toks[tok1.tid + 1:upto + 1]:
+                if mark_head_re.match(tok2.pos) is not None:
+                    entity_candidate += tok2.text + " "
+                    if entity_candidate.strip() in lex.entities:
+                        for tok3 in toks[tok1.tid:tok2.tid]:
+                            # rightmost token's head must be outside entity
+                            if tok2.head > tok2.tid or tok2.head < tok1.tid:
+                                if (tok3.head < tok1.tid or tok3.head > tok2.tid) \
+                                        and tok3.tid in children.get(tok3.head, []):
+                                    children[tok3.head].remove(tok3.tid)
+                                    tok3.head = tok2.tid
+                                    children.setdefault(tok3.head, []).append(tok3.tid)
+                                    break
+                else:
+                    break
+
+        # apposition pointing back to the immediately preceding proper
+        # noun — typical MaltParser name behavior (preprocess.py:77-83)
+        if appos_re.match(tok1.func) is not None and tok1.tid != 1:
+            if proper_re.match(toks[tok1.tid - 1].pos) is not None \
+                    and toks[tok1.tid - 1].tid == tok1.head:
+                tok1.func = "xrenner_fix"
+                children.setdefault(tok1.tid - 1, []).append(tok1.tid)
+                stop_ids[tok1.tid] = True
+
+        # [city], [state/country] apposition — typical Stanford parser
+        # behavior (preprocess.py:85-99); entity label "place" is a literal
+        # in the reference, not the place_def_entity filter
+        if appos_re.match(tok1.func) is not None and not tok1.tid < 3:
+            if toks[tok1.tid - 1].text.strip() == ",":
+                tok_minus2 = toks[tok1.tid - 2]
+                tok1_head = toks[tok1.head]
+                if proper_re.match(tok_minus2.pos) is not None:
+                    if (tok_minus2.tid == tok1.head and
+                            (lookup_has_entity(tok1.text, tok1.lemma, "place", lex)
+                             and not lookup_has_entity(tok_minus2.text, tok_minus2.lemma, "place", lex)
+                             or lookup_has_entity(tok_minus2.text, tok_minus2.lemma, "place", lex))) or \
+                            not lookup_has_entity(tok1_head.text, tok1_head.lemma, "place", lex) \
+                            and lookup_has_entity(tok1.text, tok1.lemma, "place", lex):
+                        tok1.func = "xrenner_fix"
+                        if tok1.tid not in children.get(tok_minus2.tid, []):
+                            if tok_minus2.head != tok1.tid:  # avoid a cycle
+                                children.setdefault(tok_minus2.tid, []).append(tok1.tid)
+
+        # markable projecting beyond an apposition to itself: drop the
+        # violating children (preprocess.py:101-104)
+        if appos_re.match(tok1.func) is not None and tok1.tid != 1:
+            for tok2 in toks[tok1.tid + 1:upto + 1]:
+                if tok2.head == tok1.head and non_link_re.match(tok2.func) is None \
+                        and tok2.tid in children.get(tok2.head, []):
+                    children[tok2.head].remove(tok2.tid)
+
+
+def _affix_stop_reroute(doc: DocState, tok1, tokoffset: int, upto: int,
+                        stop_ids: Dict[int, bool]):
+    """Affix tokens can't be markable heads: flag them stopped and promote
+    the rightmost eligible child to head in their place, rewiring heads,
+    children, funcs and modifiers (reference xrenner_xrenner.py:476-518,
+    active only under postprocess_parser).
+
+    Reference quirks preserved deliberately: children are scanned in
+    *string*-descending id order (ids are strings there), and the inner
+    redistribution loop removes elements from the list it is iterating,
+    skipping every other entry — both affect which edges survive."""
+    from .mentions import pos_func_combo
+
+    lex = doc.lex
+    f = lex.filters
+    toks = doc.tokens
+    children = doc.children
+    mark_head_re = f["mark_head_pos"]
+    forbidden_re = f["mark_forbidden_func"]
+    combos = f["pos_func_heads"]
+    mod_re = f["mod_func"]
+
+    def head_candidate(tok):
+        return ((mark_head_re.match(tok.pos) is not None
+                 and forbidden_re.match(tok.func) is None)
+                or pos_func_combo(tok.pos, tok.func, combos))
+
+    if not (head_candidate(tok1) and not stop_ids[tok1.tid]):
+        return
+    if tok1.text.strip() not in lex.affix_tokens:
+        return
+    stop_ids[tok1.tid] = True
+    for child_id in sorted(children.get(tok1.tid, []), key=str, reverse=True):
+        child = toks[child_id]
+        if head_candidate(child) and not stop_ids[child.tid]:
+            child.head = tok1.head
+            tok1.head = child.tid
+            # make the new head the head of all children of the affix
+            # token (live-list mutation during iteration kept verbatim)
+            for child_id2 in children[tok1.tid]:
+                if child_id2 != child_id:
+                    toks[child_id2].head = child.tid
+                    children[tok1.tid].remove(child_id2)
+                    children.setdefault(child.tid, []).append(child_id2)
+            # swap the functions of affix head and new head
+            temp_func = child.func
+            child.func = tok1.func
+            tok1.func = temp_func
+            children[tok1.tid].remove(child.tid)
+            children.setdefault(child.tid, []).append(tok1.tid)
+            if child in tok1.modifiers:
+                tok1.modifiers.remove(child)
+                child.modifiers.append(tok1)
+            # re-route any other non-link parents to the new head
+            for tok_to_rewire in toks[tokoffset + 1:upto + 1]:
+                if tok_to_rewire.original_head == tok1.tid \
+                        and tok_to_rewire.head != child.tid \
+                        and tok_to_rewire.tid != child.tid:
+                    tok_to_rewire.head = child.tid
+                    if tok_to_rewire.func not in child.child_funcs:
+                        child.child_funcs.append(tok_to_rewire.func)
+                    if tok_to_rewire not in child.modifiers \
+                            and mod_re.match(tok_to_rewire.func) is not None:
+                        child.modifiers.append(tok_to_rewire)
+                    if child in tok_to_rewire.modifiers:
+                        tok_to_rewire.modifiers.remove(child)
+            # only the first subordinate head, traversing right to left
+            break
+
+
+def find_stop_zones(doc: DocState, tokoffset: int, upto: int,
+                    stop_ids: Optional[Dict[int, bool]] = None) -> Dict[int, bool]:
+    """Tokens that cannot head markables: affix-token rewiring (under
+    postprocess_parser), stop-list n-grams and first+last name pairs
+    (reference xrenner_xrenner.py:466-542).  ``stop_ids`` may arrive
+    pre-seeded by :func:`postprocess_parser` (the reference initializes it
+    before the postprocess hook and threads it through)."""
+    lex = doc.lex
+    toks = doc.tokens
+    if stop_ids is None:
+        stop_ids = {}
+    for tok in toks[tokoffset + 1:upto + 1]:
+        stop_ids.setdefault(tok.tid, False)
+    postprocess = bool(lex.filters["postprocess_parser"])
+
+    # one pass per token: affix rewiring (if enabled) then the stop-list
+    # n-gram window of up to 4 tokens — interleaved exactly as in the
+    # reference's dead-areas loop, because the rewiring reads stop flags
+    # set by earlier iterations
+    for tok1 in toks[tokoffset + 1:upto + 1]:
+        if postprocess:
+            _affix_stop_reroute(doc, tok1, tokoffset, upto, stop_ids)
         candidate = ""
         for tok2 in toks[tok1.tid:min(upto + 1, tok1.tid + 4)]:
             candidate += tok2.text + " "
