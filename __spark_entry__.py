@@ -176,7 +176,7 @@ def _catalog():
     cat.update(all_queries())
     from xrenner_spark.operators import kg_oracle
     cat["kg_triples"] = (kg_triples, kg_oracle.kg_triples_sql())
-    cat["kg_mentions"] = (kg_mentions, None)
+    cat["kg_mentions"] = (kg_mentions, kg_oracle.kg_mentions_sql())
     cat["kg_chains"] = (kg_chains, kg_oracle.kg_chains_sql())
     cat["kg_extract_invariant"] = (kg_extract_invariant, None)
     cat["kg_tokens"] = (kg_tokens, kg_oracle.kg_tokens_sql())

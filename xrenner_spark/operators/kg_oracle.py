@@ -37,6 +37,24 @@ def _pq(name: str) -> str:
     return "read_parquet('%s/%s.parquet/*.parquet')" % (EXPORT_DIR, name)
 
 
+#: committed reference-engine mention export (scripts/make_ref_mentions.py):
+#: the hard oracle for kg_mentions — the rule cascade has no SQL twin, but
+#: it does have a reference-implementation twin, generated sandbox-only
+#: from the read-only reference and committed like the goldens
+REF_MENTIONS_FIXTURE = os.path.join(
+    os.path.dirname(EXPORT_DIR), "tests", "fixtures",
+    "ref_mentions_500.parquet")
+
+
+def kg_mentions_sql() -> str:
+    """The driver's correctness run uses 500 documents (documents.parquet
+    row count at sf0.01 and sf0.001 alike); the fixture was generated for
+    exactly those 500 corpus doc ids."""
+    return ("SELECT url, mark_id, text, entity, agree, form, coref_type, "
+            "group_id, sent_num FROM read_parquet('%s')"
+            % REF_MENTIONS_FIXTURE)
+
+
 # order-equivalent scalar encodings of the Spark-side struct orderings
 _ORD_FIRST = 'CAST(start AS BIGINT) * 1000000 + "end"'
 _ORD_LONGEST = ('CAST(length(core_text) AS BIGINT) * 1000000000000 '
