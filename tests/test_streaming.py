@@ -85,7 +85,9 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     _drop_pages(spark, source, 5, 15)   # docs 5-9 are exact repeats
 
     stream = read_pages_stream(spark, source, max_files_per_trigger=1)
-    q = (streaming_dedup(stream).writeStream
+    # ttl_ms=None: exact-forever mode (corpus warc_ts spans a year of
+    # event time, so any finite TTL would legitimately re-admit)
+    q = (streaming_dedup(stream, ttl_ms=None).writeStream
          .format("parquet").option("path", out)
          .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
          .trigger(availableNow=True).start())
@@ -98,3 +100,54 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     # deterministic corpus: every doc id appears exactly once
     urls = sorted(r.url for r in rows)
     assert len(set(urls)) == 15
+
+
+def test_streaming_dedup_state_expiry(spark, tmp_path):
+    """Event-time TTL policy: per-hash state is evicted once the
+    watermark passes last_sighting + ttl, so a duplicate older than the
+    TTL window is re-admitted while an in-window duplicate is dropped.
+    Fully deterministic — eviction is driven by event timestamps in the
+    data, never by wall-clock."""
+    import datetime
+    import time
+
+    import pandas as pd
+
+    from xrenner_spark.corpus import build_page
+    from xrenner_spark.streaming import read_pages_stream, streaming_dedup
+
+    source = str(tmp_path / "ttl_stream")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    t0 = datetime.datetime(2025, 1, 1)
+
+    def drop_at(lo, hi, minutes):
+        rows = [build_page(i) for i in range(lo, hi)]
+        for r in rows:
+            r["warc_ts"] = t0 + datetime.timedelta(minutes=minutes)
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(source)
+        time.sleep(0.05)  # distinct mod-times keep file->trigger order stable
+
+    ttl_ms = 3600 * 1000  # 1 hour of event time
+    drop_at(0, 5, 0)       # originals at T0
+    drop_at(0, 5, 10)      # in-window duplicates (T0+10min): dropped
+    drop_at(10, 15, 120)   # frontier advance: watermark passes T0+1h
+    drop_at(20, 25, 120)   # next batch fires the timeout -> state evicted
+    drop_at(0, 5, 180)     # stale duplicates (T0+3h): re-admitted
+
+    stream = read_pages_stream(spark, source, max_files_per_trigger=1)
+    q = (streaming_dedup(stream, ttl_ms=ttl_ms, late_threshold="1 second")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    counts = {}
+    for r in rows:
+        counts[r.url] = counts.get(r.url, 0) + 1
+    old = {u: c for u, c in counts.items() if "doc0000000" in u}   # ids 0-4
+    fresh = {u: c for u, c in counts.items() if u not in old}      # 10-14, 20-24
+    assert len(old) == 5 and all(c == 2 for c in old.values()), counts
+    assert len(fresh) == 10 and all(c == 1 for c in fresh.values()), counts

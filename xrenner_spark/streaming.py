@@ -65,14 +65,33 @@ def stream_pipeline(spark: SparkSession, source_dir: str, out_dir: str,
     return writer.start()
 
 
-def streaming_dedup(pages: DataFrame) -> DataFrame:
+def streaming_dedup(pages: DataFrame,
+                    ttl_ms: Optional[int] = 30 * 24 * 3600 * 1000,
+                    late_threshold: str = "1 hour") -> DataFrame:
     """Cross-batch exact deduplication as a custom stateful operator
     (applyInPandasWithState): the first page with a given content hash
     passes through, every later arrival — in the same OR any later
     micro-batch — is dropped, with per-group state carrying the
     seen-count across batches.  This is the stateful streaming primitive
     a training-data ingest pipeline needs (the batch dedup operators
-    can't see across micro-batches)."""
+    can't see across micro-batches).
+
+    State policy (the explicit 100 TB choice): per-hash state is evicted
+    once the EVENT-TIME watermark passes ``last_seen_ts + ttl_ms``, so
+    the state store holds only hashes sighted within the TTL window of
+    the stream's frontier rather than every hash ever ingested.  The
+    tradeoff is documented and deliberate: a duplicate arriving more
+    than ``ttl_ms`` (event time) after its last sighting is re-admitted.
+    Event-time rather than processing-time TTL keeps eviction
+    deterministic under replay/backfill (a re-run over the same WARC
+    drops evicts identically — wall-clock TTL would not) and lets
+    availableNow batch-catchup runs terminate (a processing-time TTL
+    keeps scheduling timeout-only micro-batches until the TTL elapses).
+    Pass ``ttl_ms=None`` for exact-forever dedup (unbounded state — only
+    sane with a RocksDB state store and a bounded key universe; the
+    batch ``dedup_exact`` join is the right tool for retroactive
+    exactness).  ``late_threshold`` is the watermark delay: how far
+    out-of-order page timestamps may arrive."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql import types as T
@@ -85,28 +104,53 @@ def streaming_dedup(pages: DataFrame) -> DataFrame:
         T.StructField("lang", T.StringType()),
         T.StructField("dup_of_prior_batch", T.BooleanType()),
     ])
-    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+    state_schema = T.StructType([
+        T.StructField("seen", T.LongType()),
+        T.StructField("last_ts_ms", T.LongType()),
+    ])
+    cols = [f.name for f in out_schema.fields]
 
     def dedup_group(key, pdf_iter, state):
-        seen = state.get[0] if state.exists else 0
+        if state.hasTimedOut:
+            # TTL expiry: evict; the next arrival of this hash re-admits
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        seen, last_ts_ms = state.get if state.exists else (0, 0)
         had_prior = seen > 0
-        out = []
+        emitted = False
         for pdf in pdf_iter:
-            for row in pdf.itertuples(index=False):
-                if seen == 0:
-                    out.append({"content_hash": key[0], "url": row.url,
-                                "warc_ts": row.warc_ts, "text": row.text,
-                                "lang": row.lang,
-                                "dup_of_prior_batch": had_prior})
-                seen += 1
-        state.update((seen,))
-        cols = [f.name for f in out_schema.fields]
-        yield pd.DataFrame(out, columns=cols)
+            if len(pdf) == 0:
+                continue
+            if seen == 0:
+                # vectorized head-1 slice: only the first arrival survives
+                first = pdf.iloc[:1][["url", "warc_ts", "text", "lang"]].copy()
+                first.insert(0, "content_hash", key[0])
+                first["dup_of_prior_batch"] = had_prior
+                emitted = True
+                yield first[cols]
+            seen += len(pdf)
+            batch_max = int(pd.Timestamp(pdf["warc_ts"].max()).value // 10**6)
+            last_ts_ms = max(last_ts_ms, batch_max)
+        state.update((seen, last_ts_ms))
+        if ttl_ms is not None:
+            # sliding event-time TTL, re-armed on every sighting; a key
+            # whose sighting is already older than watermark+ttl (very
+            # late data) gets a minimal grace — setTimeoutTimestamp
+            # rejects timestamps at or below the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ts_ms + ttl_ms, wm + 1))
+        if not emitted:
+            yield pd.DataFrame(columns=cols)
 
+    timeout = (GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     hashed = pages.withColumn("content_hash", F.md5("text"))
+    if ttl_ms is not None:
+        hashed = hashed.withWatermark("warc_ts", late_threshold)
     return (hashed.groupBy("content_hash")
             .applyInPandasWithState(dedup_group, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout))
 
 
 def mention_rate_stream(kernel_out: DataFrame, window: str = "1 hour",
