@@ -349,14 +349,18 @@ def kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
     return extracted.mapInPandas(run, schema=KERNEL_SCHEMA)
 
 
-def fused_extract_kernel_stage(pages: DataFrame, lex_broadcast) -> DataFrame:
-    """Extraction + kernel in ONE python position.
+def fused_extract_kernel_stage_pandas(pages: DataFrame, lex_broadcast) -> DataFrame:
+    """Extraction + kernel in ONE python position (mapInPandas variant).
 
     Chaining two mapInPandas evaluations inside a single Spark stage runs
     two python workers per task back-to-back, which measured ~10x slower
     than a single fused worker on this pipeline; the staged variant is
     only used when a checkpoint write separates the stages anyway
-    (run_pipeline).  Semantics are identical — covered by tests."""
+    (run_pipeline).  Semantics are identical — covered by tests.
+
+    Kept as the measured A/B twin of the mapInArrow default (row-exact
+    equal output, test_pipeline_spark); see BENCH/BASELINE.md
+    "Arrow-serde experiment" for why the default switched."""
 
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import extract_conllu, extract_text
@@ -392,6 +396,107 @@ def fused_extract_kernel_stage(pages: DataFrame, lex_broadcast) -> DataFrame:
             yield pd.DataFrame(rows, columns=_KERNEL_COLS)
 
     return pages.mapInPandas(run, schema=KERNEL_SCHEMA)
+
+
+def fused_extract_kernel_stage_arrow(pages: DataFrame, lex_broadcast) -> DataFrame:
+    """The fused stage over ``mapInArrow``: identical semantics to
+    fused_extract_kernel_stage, but the output side skips pandas
+    entirely — per-column Python lists are assembled with bulk
+    list.extend (constant-per-doc columns as repeated slices, mention
+    columns as comprehensions) and handed to Arrow as one RecordBatch
+    per input batch.  The pandas path builds a dict per output row and
+    lets DataFrame(list-of-dicts) re-infer 33 object columns, which is
+    the serde overhead the round-2 profile attributed the remaining
+    kernel-stage gap to (CLAUDE.md: ~0.8 of the raw-multiprocessing
+    ceiling)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    out_schema = to_arrow_schema(KERNEL_SCHEMA)
+    mention_fields = _MENTION_FIELDS
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from .corpus import extract_conllu, extract_text
+        lex = lex_broadcast.value
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        for batch in batches:
+            names = batch.schema.names
+            col = {n: batch.column(i) for i, n in enumerate(names)}
+            urls = col["url"].to_pylist()
+            htmls = col["html"].to_pylist()
+            texts = col["text"].to_pylist()
+            langs = col["lang"].to_pylist()
+            ts_type = batch.schema.field("warc_ts").type
+            tss = col["warc_ts"].to_pylist()
+
+            out = {name: [] for name in _KERNEL_COLS}
+            for url, ts, html, text, lang in zip(urls, tss, htmls, texts, langs):
+                t0 = time.perf_counter()
+                try:
+                    extracted = extract_text(html)
+                    if extracted != text:
+                        raise ValueError("byte-identity violation for " + url)
+                    conllu = extract_conllu(html)
+                    if lex.depedit is not None:
+                        conllu = lex.depedit.run(conllu)
+                    result = analyze_document_windowed(url, conllu, lex,
+                                                       pre_rewritten=True)
+                    mentions = result.mentions
+                    verbs = sorted(parse_verbs(conllu).items())
+                    sha = hashlib.sha256(extracted.encode("utf8")).hexdigest()
+                    n_sent, n_tok = result.n_sentences, result.n_tokens
+                    error = ""
+                except Exception as exc:
+                    mentions, verbs, sha = [], [], ""
+                    n_sent = n_tok = 0
+                    error = repr(exc)[:500]
+                kernel_ms = (time.perf_counter() - t0) * 1000.0
+                n_m, n_v = len(mentions), len(verbs)
+                n = 1 + n_m + n_v
+                # constant-per-doc columns: one bulk extend each
+                out["url"].extend([url] * n)
+                out["warc_ts"].extend([ts] * n)
+                out["lang"].extend([lang] * n)
+                out["part_id"].extend([part_id] * n)
+                out["row_type"].append("d")
+                out["row_type"].extend(["m"] * n_m)
+                out["row_type"].extend(["v"] * n_v)
+                # doc-row-only metrics columns
+                pad = [None] * (n_m + n_v)
+                out["text_sha256"].append(sha); out["text_sha256"].extend(pad)
+                out["n_sentences"].append(n_sent); out["n_sentences"].extend(pad)
+                out["n_tokens"].append(n_tok); out["n_tokens"].extend(pad)
+                out["kernel_ms"].append(kernel_ms); out["kernel_ms"].extend(pad)
+                out["error"].append(error); out["error"].extend(pad)
+                # mention columns: null for 'd', values, null for 'v'
+                v_pad = [None] * n_v
+                for k in mention_fields:
+                    o = out[k]
+                    o.append(None)
+                    o.extend([m[k] for m in mentions])
+                    o.extend(v_pad)
+                # verb columns
+                out["verb_id"].extend([None] * (1 + n_m))
+                out["verb_id"].extend([tid for tid, _ in verbs])
+                out["verb_lemma"].extend([None] * (1 + n_m))
+                out["verb_lemma"].extend([lemma for _, lemma in verbs])
+
+            arrays = []
+            for field in out_schema:
+                typ = ts_type if field.name == "warc_ts" else field.type
+                arrays.append(pa.array(out[field.name], type=typ))
+            yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in out_schema])
+
+    return pages.mapInArrow(run, schema=KERNEL_SCHEMA)
+
+
+#: default fused stage: the mapInArrow variant — measured equal-to-better
+#: vs mapInPandas on every quiet-window rep (kernel-stage-only A/B, 20k
+#: docs local[32]) and it drops pandas from the hot path entirely; the
+#: remaining gap to the raw-multiprocessing ceiling is input-side Arrow
+#: IPC + task scheduling, not output assembly (BENCH/BASELINE.md r3)
+fused_extract_kernel_stage = fused_extract_kernel_stage_arrow
 
 
 def lineage_of(stage_df: DataFrame, stage: str) -> DataFrame:
