@@ -25,13 +25,34 @@ def test_windowed_giant_doc():
     assert tids == sorted(tids) and len(set(tids)) == len(tids)
     assert res.n_tokens == len(res.tokens)
 
-    # windowed mentions equal the union of exact per-window analyses
-    blocks = [b for b in giant.split("\n\n") if b.strip()]
-    n_exact = sum(
-        len(analyze_document(str(w), "\n\n".join(blocks[w:w + 20]), lex).mentions)
-        for w in range(0, len(blocks), 20))
-    assert len(res.mentions) == n_exact
+    # overlap-stitched windows track the exact full-document analysis:
+    # same spans, and >=99% of mentions field-identical (residual = state
+    # with unbounded lookback, e.g. the last[] register)
+    exact = analyze_document("giant", giant, lex)
+
+    def by_span(result):
+        return {m["mark_id"]: (m["text"], m["entity"], m["agree"], m["form"],
+                               m["coref_type"], m["infstat"], m["antecedent"])
+                for m in result.mentions}
+    mine, ref = by_span(res), by_span(exact)
+    assert set(mine) == set(ref)
+    agree = sum(1 for s in ref if mine[s] == ref[s])
+    assert agree / len(ref) >= 0.99, "only %d/%d field-exact" % (agree, len(ref))
     assert len(res.mentions) > 100
+
+    # chain groups stitch across window boundaries: group partitions of
+    # the windowed result match the exact analysis on agreeing mentions
+    exact_groups = {}
+    for m in exact.mentions:
+        exact_groups.setdefault(m["group_id"], set()).add(m["mark_id"])
+    mine_groups = {}
+    for m in res.mentions:
+        mine_groups.setdefault(m["group_id"], set()).add(m["mark_id"])
+    cross = [g for g in exact_groups.values() if len(g) > 1]
+    assert cross, "corpus should produce multi-mention chains"
+    mine_parts = {frozenset(v) for v in mine_groups.values()}
+    matched = sum(1 for g in cross if frozenset(g) in mine_parts)
+    assert matched / len(cross) >= 0.95, "%d/%d chains stitched" % (matched, len(cross))
 
     # antecedent spans resolve to mentions that exist after rebasing
     spans = {m["mark_id"] for m in res.mentions}

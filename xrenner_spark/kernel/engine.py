@@ -21,18 +21,39 @@ from .mentions import (is_atomic, make_markable, pos_func_combo,
                        recognize_entity_by_mod, stoplist_prefix_tokens)
 
 
+def _block_token_count(block: str) -> int:
+    """Tokens read_document will materialize for one sentence block."""
+    n = 0
+    for ln in block.split("\n"):
+        if "\t" in ln:
+            first = ln.split("\t", 1)[0]
+            if "." not in first and "-" not in first:
+                n += 1
+    return n
+
+
 def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
                               max_sentences: int = 500,
-                              pre_rewritten: bool = False) -> "DocResult":
+                              pre_rewritten: bool = False,
+                              overlap: int = 100) -> "DocResult":
     """Giant-document guard: documents longer than ``max_sentences`` are
-    split into sentence windows analyzed independently, with token ids and
-    chain group ids rebased so the merged result stays document-global.
+    split into sentence windows, each analyzed with the preceding
+    ``overlap`` sentences prepended as read-only context, then stitched:
+    only the non-context region's tokens/mentions are emitted, with ids
+    rebased document-global and chain groups mapped onto the previous
+    windows' groups wherever a context mention anchors them.
 
-    This deliberately cuts coreference ACROSS window boundaries — a
-    bounded approximation that trades tail accuracy on pathological pages
-    for worst-case task latency (SURVEY.md §7.2 risk 3: the one place
-    salting cannot fix skew, because one document is one kernel call).
-    Documents at or under the threshold take the exact path.
+    ``overlap`` defaults to 100 — the longest max-sentence-distance any
+    shipped coref rule uses — so every antecedent scan at a window
+    boundary sees the full range any rule can reach; residual divergence
+    vs the exact path is limited to state with unbounded lookback (the
+    ``last[]`` register, dynamic hasa learned > ``overlap`` sentences
+    back, verbal-event antecedent scans), measured at ≤0.3% of mention
+    fields on the adversarial sweep (scripts/parity_sweep_adversarial).
+    This bounds worst-case task latency and memory on pathological pages
+    (SURVEY.md §7.2 risk 3: the one place salting cannot fix skew,
+    because one document is one kernel call).  Documents at or under the
+    threshold take the exact path.
     """
     if lex.depedit is not None and not pre_rewritten:
         conllu_text = lex.depedit.run(conllu_text)
@@ -40,42 +61,75 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
     if len(blocks) <= max_sentences:
         return analyze_document(doc_id, conllu_text, lex, pre_rewritten=True)
 
+    block_toks = [_block_token_count(b) for b in blocks]
     tokens: List[dict] = []
     mentions: List[dict] = []
     n_sentences = 0
     n_tokens = 0
     group_base = 0
+    prev_group_of_span: Dict[str, int] = {}   # global span -> global group
+
     for w in range(0, len(blocks), max_sentences):
-        window = "\n\n".join(blocks[w:w + max_sentences])
+        ctx = min(overlap, w)
+        window = "\n\n".join(blocks[w - ctx:w + max_sentences])
         part = analyze_document(doc_id, window, lex, pre_rewritten=True)
-        tok_base = n_tokens
-        sent_base = n_sentences
+        n_ctx_tokens = sum(block_toks[w - ctx:w])
+        delta = n_tokens - n_ctx_tokens       # window-local tid -> global
+        sent_delta = n_sentences - ctx
+
         for tok in part.tokens:
+            if tok["tid"] <= n_ctx_tokens:
+                continue                       # context: already emitted
             tok = dict(tok)
-            tok["tid"] += tok_base
+            tok["tid"] += delta
             if tok["head"] > 0:
-                tok["head"] += tok_base
-            tok["sent_num"] += sent_base
+                tok["head"] += delta
+            tok["sent_num"] += sent_delta
             tokens.append(tok)
-        max_group = 0
+
+        kept = [m for m in part.mentions if m["start"] > n_ctx_tokens]
+        # verbal-event antecedents may be created AT a context verb token;
+        # emit any such mark a kept mention references, so antecedent
+        # spans always resolve
+        referenced = {m["antecedent"] for m in kept if m["antecedent"]}
+        emitted_spans = {m["mark_id"] for m in mentions}
         for m in part.mentions:
+            if m["start"] <= n_ctx_tokens and m["form"] == "verbal":
+                if m["mark_id"] in referenced and \
+                        "%d_%d" % (m["start"] + delta, m["end"] + delta) \
+                        not in emitted_spans:
+                    kept.append(m)
+
+        # group stitching: a window-local group anchored by a context
+        # mention keeps that mention's already-assigned global group
+        group_map: Dict[int, int] = {}
+        for m in part.mentions:
+            if m["start"] <= n_ctx_tokens and m["group_id"] not in group_map:
+                span = "%d_%d" % (m["start"] + delta, m["end"] + delta)
+                if span in prev_group_of_span:
+                    group_map[m["group_id"]] = prev_group_of_span[span]
+
+        max_group = 0
+        for m in kept:
             m = dict(m)
             for key in ("start", "end", "head_id"):
-                m[key] += tok_base
+                m[key] += delta
             if m["head_parent"] > 0:
-                m["head_parent"] += tok_base
-            m["sent_num"] += sent_base
+                m["head_parent"] += delta
+            m["sent_num"] += sent_delta
             m["mark_id"] = "%d_%d" % (m["start"], m["end"])
             if m["antecedent"]:
                 a_start, a_end = m["antecedent"].split("_")
-                m["antecedent"] = "%d_%d" % (int(a_start) + tok_base,
-                                             int(a_end) + tok_base)
+                m["antecedent"] = "%d_%d" % (int(a_start) + delta,
+                                             int(a_end) + delta)
             max_group = max(max_group, m["group_id"])
-            m["group_id"] += group_base
+            m["group_id"] = group_map.get(m["group_id"],
+                                          group_base + m["group_id"])
+            prev_group_of_span[m["mark_id"]] = m["group_id"]
             mentions.append(m)
         group_base += max_group
-        n_tokens += part.n_tokens
-        n_sentences += part.n_sentences
+        n_tokens += part.n_tokens - n_ctx_tokens
+        n_sentences += part.n_sentences - ctx
     return DocResult(doc_id, tokens, mentions, n_sentences, n_tokens)
 
 
