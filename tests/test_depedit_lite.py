@@ -42,3 +42,33 @@ def test_rewrite_matches_reference(name, case):
 def test_unsupported_constructs_raise(bad):
     with pytest.raises(ValueError):
         DepEditLite([bad])
+
+
+def _realworld_cases():
+    path = os.path.join(HERE, "fixtures", "depedit_realworld.json")
+    return sorted(json.load(io.open(path, encoding="utf8")).items())
+
+
+@pytest.mark.parametrize("name,case", _realworld_cases(),
+                         ids=[n for n, _ in _realworld_cases()])
+def test_realworld_config_classes_match_reference(name, case):
+    """Rule classes from the two PUBLIC shipped model configs (udx +
+    cop.xrm), reference-captured outputs (scripts/make_depedit_realworld).
+    The verbatim cop.xrm config was additionally verified byte-exact
+    against the reference in-sandbox."""
+    engine = DepEditLite(case["ini"].split("\n"))
+    assert engine.run(case["input"]) == case["output"]
+
+
+def test_shipped_udx_config_loads_and_applies():
+    """The reference's own validator rejects '=' inside /.../ values
+    (depedit.py:152), sys.exit()ing on the udx model's shipped
+    ``morph=/.*Polarity=Neg.*/`` rule — the one config construct where
+    we deliberately diverge: DepEditLite accepts it (FEATS values
+    contain '=' by definition) and applies the evident intent."""
+    engine = DepEditLite(["morph=/.*Polarity=Neg.*/\tnone\t#1:func=neg"])
+    doc = ("1\tnot\tnot\tPART\tPART\tPolarity=Neg\t2\tadvmod\t_\t_\n"
+           "2\twent\tgo\tVERB\tVERB\tTense=Past\t0\troot\t_\t_\n")
+    out = engine.run(doc)
+    lines = [ln.split("\t") for ln in out.split("\n") if "\t" in ln]
+    assert lines[0][7] == "neg" and lines[1][7] == "root"
