@@ -8,6 +8,11 @@ overwrite semantics and per-stage ``_lineage`` sidecar tables
 (SURVEY.md §7 risk item 4).  Swapping in Iceberg is a construction-time
 flag: ``Catalog(spark, iceberg_catalog="my_cat")`` routes every call
 through ``writeTo``/``spark.read.table`` instead.
+
+Jar status: retried 2026-08-16 (round 3) — no iceberg-spark-runtime jar
+anywhere on the image (/opt/spark/jars has no table-format jars) and
+repo1.maven.org is unreachable from the sandbox, so the Iceberg branch
+remains untested here; the parquet branch carries the tested semantics.
 """
 
 from __future__ import annotations

@@ -278,12 +278,26 @@ def child_info_sql(tokens: DataFrame) -> DataFrame:
 
 def descendants_closure_sql(tokens: DataFrame, max_depth: int = 12) -> DataFrame:
     """Transitive closure of the dependency child relation via iterative
-    self-join to fixpoint, bounded by tree depth (the SQL analogue of
-    reference xrenner_classes.py:305-320; SURVEY.md §2.7)."""
+    frontier self-join (the SQL analogue of reference
+    xrenner_classes.py:305-320; SURVEY.md §2.7).
+
+    Dependency edges form a FOREST (one parent per node), so the path
+    between any (ancestor, descendant) pair is unique and each pair is
+    discovered at exactly one depth: no ``exceptAll``/``distinct`` is
+    needed — the closure is the plain union of the per-depth frontiers,
+    and each level costs one co-keyed join over a strictly SHRINKING
+    frontier plus one cheap isEmpty convergence probe on its persisted
+    result.  The driver-paced loop is inherent to iterative closure on
+    Spark (bounded by ``max_depth``, i.e. tree depth — ~12 for natural-
+    language parses regardless of corpus size, so the round count does
+    not grow with data).  The production path remains the kernel's
+    per-document in-memory closure; this operator exists for SQL-side
+    tree analytics and is oracle-checked against a DuckDB
+    WITH RECURSIVE twin."""
     edges = (tokens.filter(F.col("head") > 0)
              .select("url", F.col("head").alias("ancestor"),
                      F.col("tid").alias("descendant"))).persist()
-    closure = edges
+    levels = [edges]
     frontier = edges
     for _depth in range(max_depth):
         stepped = (frontier.alias("f")
@@ -292,24 +306,16 @@ def descendants_closure_sql(tokens: DataFrame, max_depth: int = 12) -> DataFrame
                          & (F.col("f.descendant") == F.col("e.ancestor")))
                    .select(F.col("f.url").alias("url"),
                            F.col("f.ancestor").alias("ancestor"),
-                           F.col("e.descendant").alias("descendant")))
-        # the convergence check is inherently one driver-side job per depth
-        # level; persist the new frontier so that job isn't recomputed by
-        # the union below, and release superseded iterations eagerly
-        new_pairs = stepped.exceptAll(closure).persist()
-        if new_pairs.isEmpty():
-            new_pairs.unpersist()
+                           F.col("e.descendant").alias("descendant"))
+                   .persist())
+        if stepped.isEmpty():
+            stepped.unpersist()
             break
-        new_closure = closure.unionAll(new_pairs).distinct().persist()
-        new_closure.count()  # materialize before freeing its inputs
-        if closure is not edges:
-            closure.unpersist()
-        if frontier is not edges and frontier is not closure:
-            frontier.unpersist()
-        closure, frontier = new_closure, new_pairs
-    if frontier is not edges and frontier is not closure:
-        frontier.unpersist()
-    edges.unpersist()
+        levels.append(stepped)   # stays persisted: feeds the final union
+        frontier = stepped
+    closure = levels[0]
+    for lvl in levels[1:]:
+        closure = closure.unionAll(lvl)
     return closure
 
 
