@@ -29,6 +29,7 @@ the rule/gazetteer bundle is broadcast once per executor.
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 from typing import Iterator, Optional
 
@@ -501,8 +502,12 @@ def fused_extract_kernel_stage_arrow(pages: DataFrame, lex_broadcast) -> DataFra
 #: vs mapInPandas on every quiet-window rep (kernel-stage-only A/B, 20k
 #: docs local[32]) and it drops pandas from the hot path entirely; the
 #: remaining gap to the raw-multiprocessing ceiling is input-side Arrow
-#: IPC + task scheduling, not output assembly (BENCH/BASELINE.md r3)
-fused_extract_kernel_stage = fused_extract_kernel_stage_arrow
+#: IPC + task scheduling, not output assembly (BENCH/BASELINE.md r3).
+#: XRENNER_FUSED_IMPL=pandas flips back for A/B measurement.
+fused_extract_kernel_stage = (
+    fused_extract_kernel_stage_pandas
+    if os.environ.get("XRENNER_FUSED_IMPL") == "pandas"
+    else fused_extract_kernel_stage_arrow)
 
 
 def lineage_of(stage_df: DataFrame, stage: str) -> DataFrame:
