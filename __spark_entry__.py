@@ -155,6 +155,18 @@ def kg_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return descendants_closure_sql(spark.read.parquet(base + "/tokens200.parquet"))
 
 
+def kg_serialize_sgml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed serialization sink (extract -> kernel -> byte-exact
+    SGML serializer in one python position), hash-compared against a
+    committed reference-engine SGML export of the same 500 docs."""
+    from xrenner_spark.lex import load_lex
+    from xrenner_spark.pipeline import generate_pages, salt_by_url, serialize_stage
+    n = _n_docs(spark, sf_dir)
+    bcast = spark.sparkContext.broadcast(load_lex())
+    pages = salt_by_url(generate_pages(spark, n, partitions=8), 8)
+    return serialize_stage(pages, bcast, formats=("sgml",))
+
+
 def kg_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant surfaced as a queryable check."""
     from xrenner_spark.pipeline import extract_stage, generate_pages, salt_by_url
@@ -179,6 +191,7 @@ def _catalog():
     cat["kg_mentions"] = (kg_mentions, kg_oracle.kg_mentions_sql())
     cat["kg_chains"] = (kg_chains, kg_oracle.kg_chains_sql())
     cat["kg_extract_invariant"] = (kg_extract_invariant, None)
+    cat["kg_serialize_sgml"] = (kg_serialize_sgml, kg_oracle.kg_serialize_sgml_sql())
     cat["kg_tokens"] = (kg_tokens, kg_oracle.kg_tokens_sql())
     cat["kg_child_info"] = (kg_child_info, kg_oracle.kg_child_info_sql())
     cat["kg_descendants"] = (kg_descendants, kg_oracle.kg_descendants_sql())

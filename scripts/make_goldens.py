@@ -61,14 +61,27 @@ def dump_document(parse_text):
     return mentions
 
 
-def dump_formats(parse_text):
+def dump_formats(parse_text, name="untitled"):
     """Reference serializations (fresh engine per format: the reference
-    accumulates hasa counts across analyze() calls)."""
+    accumulates hasa counts across analyze() calls, and output_PAULA
+    destructively pops the ROOT token from the engine's list)."""
+    import tempfile
     from xrenner import Xrenner
     out = {}
-    for fmt in ("sgml", "conll", "conll_sent", "onto", "unittest"):
+    for fmt in ("sgml", "conll", "conll_sent", "onto", "unittest",
+                "html", "webanno", "webannotsv"):
         engine = Xrenner(model=MODEL, rule_based=True, no_seq=True)
         out[fmt] = engine.analyze(parse_text, fmt)
+    engine = Xrenner(model=MODEL, rule_based=True, no_seq=True)
+    engine.analyze(parse_text, "none")
+    engine.docname = name
+    engine.docpath = tempfile.mkdtemp(prefix="paula_golden_")
+    engine.serialize_output("paula")
+    paula = {}
+    pdir = os.path.join(engine.docpath, name)
+    for fn in sorted(os.listdir(pdir)):
+        paula[fn] = io.open(os.path.join(pdir, fn), encoding="utf8").read()
+    out["paula"] = paula
     return out
 
 
@@ -80,7 +93,7 @@ def main():
         name = os.path.splitext(os.path.basename(path))[0]
         parse = io.open(path, encoding="utf8").read()
         mentions = dump_document(parse)
-        out = {"doc": name, "mentions": mentions, "formats": dump_formats(parse)}
+        out = {"doc": name, "mentions": mentions, "formats": dump_formats(parse, name)}
         with io.open(os.path.join(out_dir, name + ".json"), "w", encoding="utf8") as fh:
             json.dump(out, fh, indent=1, ensure_ascii=False)
         print("%-28s %3d mentions" % (name, len(mentions)))

@@ -391,6 +391,16 @@ def _serialize(doc_id: str, doc: DocState) -> DocResult:
         mention_rows.append({
             "ref_id": ref_id(mark),
             "antecedent_ref": ref_id(ante) if ante is not None else "none",
+            # extra sink-only fields (not part of the Spark MENTION_STRUCT):
+            # the HTML/PAULA/WebAnno serializers need the raw None-ness of
+            # agree (reference prints str(None) -> "None"), the speaker,
+            # the matched rule number, and the antecedent's surface text
+            "agree_raw": mark.agree,
+            "cardinality_raw": mark.cardinality,
+            "speaker": mark.speaker,
+            "matching_rule": (str(mark.matching_rule)
+                              if mark.matching_rule is not None else None),
+            "antecedent_text": ante.text if ante is not None else "",
             "doc_id": doc_id,
             "mark_id": "%d_%d" % (mark.start, mark.end),
             "start": mark.start, "end": mark.end,

@@ -55,6 +55,17 @@ def kg_mentions_sql() -> str:
             % REF_MENTIONS_FIXTURE)
 
 
+REF_SGML_FIXTURE = os.path.join(
+    os.path.dirname(EXPORT_DIR), "tests", "fixtures", "ref_sgml_500.parquet")
+
+
+def kg_serialize_sgml_sql() -> str:
+    """Reference-engine SGML serialization of the same 500 corpus docs
+    (scripts/make_ref_serialized.py) — byte-level sink oracle."""
+    return ("SELECT url, fmt, filename, payload FROM read_parquet('%s')"
+            % REF_SGML_FIXTURE)
+
+
 # order-equivalent scalar encodings of the Spark-side struct orderings
 _ORD_FIRST = 'CAST(start AS BIGINT) * 1000000 + "end"'
 _ORD_LONGEST = ('CAST(length(core_text) AS BIGINT) * 1000000000000 '

@@ -510,6 +510,75 @@ fused_extract_kernel_stage = (
     else fused_extract_kernel_stage_arrow)
 
 
+SERIALIZE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("filename", T.StringType()),   # PAULA is multi-file; else ""
+    T.StructField("payload", T.StringType()),
+])
+
+#: formats serialize_stage accepts -> output.py serializer
+_SERIALIZERS = ("sgml", "conll", "conll_sent", "onto", "html",
+                "webanno", "webannotsv", "paula")
+
+
+def serialize_stage(pages: DataFrame, lex_broadcast,
+                    formats=("sgml",)) -> DataFrame:
+    """Distributed serialization sink: extract -> kernel -> the
+    byte-exact reference serializers (output.py), all in ONE python
+    position, emitting one (url, fmt, filename, payload) row per
+    document per format (per file for PAULA's multi-file standoff).
+    Documents are independent, so this scales exactly like the kernel
+    stage; payloads stream straight to any writer (parquet/text sink).
+    The driver oracle for the sgml path is a committed reference-engine
+    export (scripts/make_ref_serialized.py), same pattern as
+    kg_mentions."""
+    from . import output as out_mod
+
+    unknown = set(formats) - set(_SERIALIZERS)
+    if unknown:
+        raise ValueError("unknown serialization formats: %s" % sorted(unknown))
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import extract_conllu
+        lex = lex_broadcast.value
+        for pdf in iterator:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                conllu = extract_conllu(rec.html)
+                if lex.depedit is not None:
+                    conllu = lex.depedit.run(conllu)
+                result = analyze_document_windowed(rec.url, conllu, lex,
+                                                   pre_rewritten=True)
+                docname = rec.url.rsplit("/", 1)[-1]
+                for fmt in formats:
+                    if fmt == "paula":
+                        for fn, payload in out_mod.output_paula(
+                                result, docname).items():
+                            rows.append((rec.url, fmt, fn, payload))
+                    elif fmt == "sgml":
+                        rows.append((rec.url, fmt, "", out_mod.output_sgml(result)))
+                    elif fmt == "conll":
+                        rows.append((rec.url, fmt, "",
+                                     out_mod.output_conll(result, docname)))
+                    elif fmt == "conll_sent":
+                        rows.append((rec.url, fmt, "",
+                                     out_mod.output_conll_sent(result, docname)))
+                    elif fmt == "onto":
+                        rows.append((rec.url, fmt, "",
+                                     out_mod.output_onto(result, docname)))
+                    elif fmt == "html":
+                        rows.append((rec.url, fmt, "", out_mod.output_html(result)))
+                    elif fmt == "webanno":
+                        rows.append((rec.url, fmt, "", out_mod.output_webanno(result)))
+                    elif fmt == "webannotsv":
+                        rows.append((rec.url, fmt, "",
+                                     out_mod.output_webannotsv(result)))
+            yield pd.DataFrame(rows, columns=["url", "fmt", "filename", "payload"])
+
+    return pages.mapInPandas(run, schema=SERIALIZE_SCHEMA)
+
+
 def lineage_of(stage_df: DataFrame, stage: str) -> DataFrame:
     """Per-partition lineage/metrics rows (north rule)."""
     if "row_type" in stage_df.columns:  # long-format kernel output
