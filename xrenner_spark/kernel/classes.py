@@ -279,6 +279,9 @@ class DocState:
         self.hasa_overlay: Dict[str, Dict[str, int]] = {}  # dynamic hasa, doc-scoped
         self.incompatible_mod_pairs: Set[str] = set()
         self.incompatible_isa_pairs: Set[str] = set()
+        # entity-oracle hit counters [overridden, changed, seen]
+        # (reference keeps these on the shared lex, xrenner_lex.py:55)
+        self.oracle_counters = [0, 0, 0]
 
     # -- dynamic hasa: read-through overlay over the broadcast base -----
     def hasa_possessed(self, possessor: str) -> Dict[str, int]:

@@ -80,6 +80,23 @@ def analyze_markable(mark: Markable, doc: DocState):
     else:
         resolve_mark_entity(mark, doc)
 
+    # external entity-oracle override: span-for-span entity replacement
+    # keyed by sentence text + sentence-relative token span (reference
+    # xrenner_xrenner.py:343-358).  Entity only — subclass keeps the
+    # system resolution, as in the reference.  Hit counters are
+    # doc-scoped (the reference keeps them on the shared lex).
+    if lex.entity_oracle is not None:
+        sent_text = mark.sentence.text
+        doc.oracle_counters[2] += 1
+        if sent_text in lex.entity_oracle:
+            m_start = mark.start - mark.sentence.start_offset
+            m_end = mark.end - mark.sentence.start_offset
+            if (m_start, m_end) in lex.entity_oracle[sent_text]:
+                doc.oracle_counters[0] += 1
+                if mark.entity != lex.entity_oracle[sent_text][(m_start, m_end)]:
+                    doc.oracle_counters[1] += 1
+                mark.entity = lex.entity_oracle[sent_text][(m_start, m_end)]
+
 
 def resolve_mark_agree(mark: Markable, lex) -> Optional[List[str]]:
     """Agreement class candidates (reference xrenner_marker.py:444-487)."""

@@ -125,6 +125,12 @@ class LexModel:
     # on "depedit.ini" in model_files (xrenner_xrenner.py:39-43)
     depedit: Optional[object] = None
 
+    # external entity oracle: {sentence_text: {(start, end): entity}} with
+    # sentence-relative 0-based token spans, loaded by read_oracle().
+    # Populate BEFORE broadcasting — like every other table it is
+    # read-only inside the kernel (per-doc hit counters live on DocState)
+    entity_oracle: Optional[Dict[str, Dict[Tuple[int, int], str]]] = None
+
     # ------------------------------------------------------------------
     # token-level helpers used by the kernel
     # ------------------------------------------------------------------
@@ -148,6 +154,26 @@ class LexModel:
         for matcher, repl in self.morph_rules:
             morph = matcher.sub(repl, morph)
         return morph
+
+    def read_oracle(self, oracle_file: str, as_text: bool = False):
+        """Load external entity predictions that override the system's
+        entity resolution span-for-span (reference xrenner_lex.py:602-619):
+        blank-line-separated 3-line blocks — sentence text, an ignored
+        middle line, and '|'-separated "start,end entity" predictions
+        with 1-based inclusive-exclusive token numbers (the reference
+        stores end-1, reproduced)."""
+        self.entity_oracle = {}
+        if not as_text:
+            oracle_file = io.open(oracle_file, encoding="utf8").read()
+        for sent in oracle_file.strip().split("\n\n"):
+            parts = sent.strip().split("\n")
+            if len(parts) == 3:
+                text = parts[0]
+                for pred in parts[-1].split("|"):
+                    toks, entity = pred.split()
+                    start, end = toks.split(",")
+                    self.entity_oracle.setdefault(text, {})[
+                        (int(start), int(end) - 1)] = entity
 
 
 def _load_filters(model_dir: str) -> Filters:
