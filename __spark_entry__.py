@@ -167,6 +167,19 @@ def kg_serialize_sgml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serialize_stage(pages, bcast, formats=("sgml",))
 
 
+def kg_training_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data dump sink (per-candidate feature lines), hash-green
+    against a committed reference-engine dump of the same 500 docs."""
+    from xrenner_spark.lex import load_lex
+    from xrenner_spark.pipeline import generate_pages, salt_by_url, training_dump_stage
+    n = _n_docs(spark, sf_dir)
+    lex = load_lex()
+    lex.dump = True
+    bcast = spark.sparkContext.broadcast(lex)
+    pages = salt_by_url(generate_pages(spark, n, partitions=8), 8)
+    return training_dump_stage(pages, bcast)
+
+
 def kg_extract_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant surfaced as a queryable check."""
     from xrenner_spark.pipeline import extract_stage, generate_pages, salt_by_url
@@ -192,6 +205,7 @@ def _catalog():
     cat["kg_chains"] = (kg_chains, kg_oracle.kg_chains_sql())
     cat["kg_extract_invariant"] = (kg_extract_invariant, None)
     cat["kg_serialize_sgml"] = (kg_serialize_sgml, kg_oracle.kg_serialize_sgml_sql())
+    cat["kg_training_dump"] = (kg_training_dump, kg_oracle.kg_training_dump_sql())
     cat["kg_tokens"] = (kg_tokens, kg_oracle.kg_tokens_sql())
     cat["kg_child_info"] = (kg_child_info, kg_oracle.kg_child_info_sql())
     cat["kg_descendants"] = (kg_descendants, kg_oracle.kg_descendants_sql())

@@ -246,6 +246,93 @@ class Markable:
                 if sim in lex.lex_deps and func in lex.lex_deps[sim]:
                     self.entity_sim_dep_scores.update(lex.lex_deps[sim][func])
 
+    #: anaphor/antecedent property list for feature extraction
+    #: (reference xrenner_classes.py:181-185)
+    _FEATURE_PROPS = ["lemma", "func", "head_text", "form", "pos", "agree",
+                      "start", "end", "lemma_freq", "cardinality",
+                      "definiteness", "entity", "subclass", "infstat",
+                      "coordinate", "length", "mod_count", "doc_position",
+                      "sent_position", "quoted", "negated", "neg_parent",
+                      "s_type"]
+    _BOOL_PROPS = {"coordinate", "quoted", "negated", "neg_parent"}
+
+    def extract_features(self, lex, doc, antecedent=None, candidate_list=(),
+                         dump_position=False):
+        """Feature representation of a markable / markable-antecedent pair
+        for the training-data dump sink (reference
+        xrenner_classes.py:148-263, rule-based mode: f_threshold fixed at
+        0 so the lexical-frequency fallback branches stay dead, exactly
+        as shipped).  Doc-scoped inputs the reference reads off the
+        shared lex (docname, token count, dynamic hasa) come from
+        ``doc``."""
+        docname = doc.docname
+        out = {}
+        if dump_position:
+            out["position"] = "%d-%d;%d-%d" % (self.start, self.end,
+                                               antecedent.start, antecedent.end)
+        out["docname"] = docname
+        if docname.startswith("GUM_") or docname.lower().startswith("autogum_") \
+                or docname.lower().startswith("amalgum_"):
+            out["genre"] = docname.split("_")[1]
+        elif len(docname) > 4:
+            out["genre"] = docname[:4]
+        else:
+            out["genre"] = "_"
+
+        f_threshold = 0
+        anaphor_parent = self.head.head_text
+        for prefix, mark in (("n_", self),) + ((("t_", antecedent),)
+                                               if antecedent is not None else ()):
+            for prop in self._FEATURE_PROPS:
+                val = getattr(mark, prop)
+                if prop in self._BOOL_PROPS:
+                    val = int(val)
+                elif prop == "lemma":
+                    if lex.freqs.get(val, 0) < f_threshold:
+                        val = mark.pos
+                elif prop == "head_text":
+                    if lex.freqs.get(val, 0) < f_threshold:
+                        val = mark.head_pos
+                out[prefix + prop] = val if val != "" else "_"
+
+        if antecedent is not None:
+            out["d_sent"] = self.sent_num - antecedent.sent_num
+            out["d_tok"] = self.start - antecedent.end
+            out["d_agr"] = int(self.agree == antecedent.agree)
+            out["d_intervene"] = abs(self.id - antecedent.id)
+            out["d_cohort"] = len(candidate_list)
+            out["d_modcount"] = self.mod_count - antecedent.mod_count
+            out["d_samemods"] = len(set(m.lemma for m in self.head.modifiers)
+                                    & set(m.lemma for m in antecedent.head.modifiers))
+            hasa = 0
+            if lex.filters["possessive_func"].search(self.func) is not None:
+                for key in (antecedent.head.text, antecedent.head.lemma):
+                    possessed = doc.hasa_possessed(key)
+                    if possessed:
+                        hasa = possessed.get(anaphor_parent, 0)
+                        break
+            out["d_hasa"] = hasa
+            out["d_entidep"] = self.entity_dep_scores.get(antecedent.entity, 0)
+            out["d_entisimdep"] = self.entity_sim_dep_scores.get(antecedent.entity, 0)
+            out["d_lexdep"] = self.lex_dep_scores.get(antecedent.head.text, 0)
+            out["d_lexsimdep"] = self.lex_sim_dep_scores.get(antecedent.head.text, 0)
+            out["d_sametext"] = int(self.text == antecedent.text)
+            out["d_samelemma"] = int(self.lemma == antecedent.lemma)
+            out["d_doclen"] = int(doc.lemma_total)
+            if antecedent.head.head == self.head.tid:
+                out["d_parent"] = 1
+            elif self.head.head == antecedent.head.tid:
+                out["d_parent"] = -1
+            else:
+                out["d_parent"] = 0
+            if self.speaker == "" and antecedent.speaker == "":
+                out["d_speaker"] = 0
+            elif self.speaker == antecedent.speaker:
+                out["d_speaker"] = 1
+            else:
+                out["d_speaker"] = -1
+        return out
+
     def __repr__(self):  # pragma: no cover
         return f"{self.entity}: \"{self.text}\" [{self.start}-{self.end}] g{self.group}"
 
@@ -282,6 +369,16 @@ class DocState:
         # entity-oracle hit counters [overridden, changed, seen]
         # (reference keeps these on the shared lex, xrenner_lex.py:55)
         self.oracle_counters = [0, 0, 0]
+        # training-data dump sink state (reference keeps these on the
+        # shared lex: dump/dump_headers/dump_types, xrenner_lex.py:50-52;
+        # doc-scoped here like hasa, so the distributed run is
+        # order-independent — matches the fresh-engine-per-doc golden
+        # methodology)
+        self.docname = "untitled"
+        self.dump_rows: List[str] = []
+        self.dump_headers: List[str] = []
+        self.dump_types: Set[str] = set()
+        self.lemma_total = 0.0
 
     # -- dynamic hasa: read-through overlay over the broadcast base -----
     def hasa_possessed(self, possessor: str) -> Dict[str, int]:

@@ -547,12 +547,39 @@ def _hasa_feature(markable: Markable, candidate: Markable, lex, doc: DocState) -
     return 0
 
 
+def _dump_candidates(markable: Markable, candidate_set, lex, doc: DocState, rule):
+    """Training-data dump rows for every candidate pair (reference
+    xrenner_compatible.py:591-620): feature dict + the reciprocal-rank of
+    the heuristic score (ascending sort — the reference's quirky ranking
+    direction is kept) + the rule number, deduplicated by line text.
+    Dedup state is doc-scoped (the reference's lex.dump_types lives for a
+    whole worker process; goldens are generated engine-per-doc)."""
+    scores = [(score_match_heuristic(markable, c, lex, doc), i)
+              for i, c in enumerate(candidate_set)]
+    ranking = {}
+    for index, (_score, i) in enumerate(sorted(scores, key=lambda x: x[0])):
+        ranking[i] = 1 / float(index + 1)
+    for i, candidate in enumerate(candidate_set):
+        features = markable.extract_features(lex, doc, candidate,
+                                             candidate_set, dump_position=True)
+        if not doc.dump_headers:
+            doc.dump_headers = list(features) + ["heuristic_score", "rule_num"]
+        dump_list = [str(v) for v in features.values()]
+        dump_list.append(str(ranking[i]))
+        outline = "\t".join(dump_list)
+        if outline not in doc.dump_types:
+            doc.dump_types.add(outline)
+            doc.dump_rows.append(outline + "\t" + str(rule.rule_num))
+
+
 def best_candidate(markable: Markable, candidate_set, lex, doc: DocState, rule,
                    take_first: bool = False) -> Optional[Markable]:
     """Pick the highest-scoring candidate and propagate
     (reference xrenner_compatible.py:561-659, rule-based mode)."""
     if not candidate_set:
         return None
+    if lex.dump:
+        _dump_candidates(markable, candidate_set, lex, doc, rule)
     if take_first:
         markable.matching_rule = rule.rule_num
         return min(candidate_set, key=lambda c: abs(markable.start - c.start))

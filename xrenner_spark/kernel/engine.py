@@ -64,6 +64,8 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
     block_toks = [_block_token_count(b) for b in blocks]
     tokens: List[dict] = []
     mentions: List[dict] = []
+    dump_rows: List[str] = []   # window-local positions; approximate on
+    dump_headers: List[str] = []  # giant docs, exact on the <=max path
     n_sentences = 0
     n_tokens = 0
     group_base = 0
@@ -130,20 +132,29 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
         group_base += max_group
         n_tokens += part.n_tokens - n_ctx_tokens
         n_sentences += part.n_sentences - ctx
-    return DocResult(doc_id, tokens, mentions, n_sentences, n_tokens)
+        dump_rows.extend(part.dump_rows)
+        if not dump_headers:
+            dump_headers = part.dump_headers
+    return DocResult(doc_id, tokens, mentions, n_sentences, n_tokens,
+                     dump_rows=dump_rows, dump_headers=dump_headers)
 
 
 class DocResult:
     """Kernel output for one document."""
 
-    __slots__ = ("doc_id", "tokens", "mentions", "n_sentences", "n_tokens")
+    __slots__ = ("doc_id", "tokens", "mentions", "n_sentences", "n_tokens",
+                 "dump_rows", "dump_headers")
 
-    def __init__(self, doc_id, tokens, mentions, n_sentences, n_tokens):
+    def __init__(self, doc_id, tokens, mentions, n_sentences, n_tokens,
+                 dump_rows=None, dump_headers=None):
         self.doc_id = doc_id
         self.tokens = tokens        # list of dict rows
         self.mentions = mentions    # list of dict rows
         self.n_sentences = n_sentences
         self.n_tokens = n_tokens
+        # training-data dump sink rows (populated when lex.dump is set)
+        self.dump_rows = dump_rows if dump_rows is not None else []
+        self.dump_headers = dump_headers if dump_headers is not None else []
 
 
 def analyze_document(doc_id: str, conllu_text: str, lex,
@@ -154,6 +165,7 @@ def analyze_document(doc_id: str, conllu_text: str, lex,
     if lex.depedit is not None and not pre_rewritten:
         conllu_text = lex.depedit.run(conllu_text)
     doc = parsing.read_document(conllu_text, lex)
+    doc.docname = doc_id   # feature dumps carry the document name
     f = lex.filters
 
     tokoffset = 0
@@ -422,4 +434,5 @@ def _serialize(doc_id: str, doc: DocState) -> DocResult:
             "submarks": [int(s) for s in mark.submarks],
         })
     return DocResult(doc_id, token_rows, mention_rows,
-                     len(doc.sentences), len(doc.tokens) - 1)
+                     len(doc.sentences), len(doc.tokens) - 1,
+                     dump_rows=doc.dump_rows, dump_headers=doc.dump_headers)

@@ -131,6 +131,11 @@ class LexModel:
     # read-only inside the kernel (per-doc hit counters live on DocState)
     entity_oracle: Optional[Dict[str, Dict[Tuple[int, int], str]]] = None
 
+    # training-data dump sink toggle (reference gates on lex.dump being a
+    # file handle, xrenner_compatible.py:598; here rows accumulate on the
+    # per-document state and stream out via pipeline.training_dump_stage)
+    dump: bool = False
+
     # ------------------------------------------------------------------
     # token-level helpers used by the kernel
     # ------------------------------------------------------------------

@@ -66,6 +66,17 @@ def kg_serialize_sgml_sql() -> str:
             % REF_SGML_FIXTURE)
 
 
+REF_DUMP_FIXTURE = os.path.join(
+    os.path.dirname(EXPORT_DIR), "tests", "fixtures", "ref_dump_500.parquet")
+
+
+def kg_training_dump_sql() -> str:
+    """Reference-engine training-dump lines for the same 500 corpus docs
+    (scripts/make_ref_dump.py); the driver's order-insensitive value
+    hash absorbs the reference's hash-incidental set iteration order."""
+    return "SELECT url, line FROM read_parquet('%s')" % REF_DUMP_FIXTURE
+
+
 # order-equivalent scalar encodings of the Spark-side struct orderings
 _ORD_FIRST = 'CAST(start AS BIGINT) * 1000000 + "end"'
 _ORD_LONGEST = ('CAST(length(core_text) AS BIGINT) * 1000000000000 '

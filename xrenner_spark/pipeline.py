@@ -579,6 +579,37 @@ def serialize_stage(pages: DataFrame, lex_broadcast,
     return pages.mapInPandas(run, schema=SERIALIZE_SCHEMA)
 
 
+DUMP_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("line", T.StringType()),
+])
+
+
+def training_dump_stage(pages: DataFrame, lex_broadcast) -> DataFrame:
+    """Training-data dump sink, distributed: one row per candidate-pair
+    feature line (reference lex.dump file sink, xrenner_compatible.py:
+    591-620), keyed by url.  The broadcast lex must carry ``dump=True``;
+    headers are fixed by the feature schema (DocResult.dump_headers).
+    Line content is deterministic; within-doc order is not meaningful
+    (see make_dump_goldens.py) so a parquet/TSV writer downstream is
+    free to partition however it likes."""
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import extract_conllu
+        lex = lex_broadcast.value
+        for pdf in iterator:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                conllu = extract_conllu(rec.html)
+                if lex.depedit is not None:
+                    conllu = lex.depedit.run(conllu)
+                result = analyze_document_windowed(rec.url, conllu, lex,
+                                                   pre_rewritten=True)
+                rows.extend((rec.url, line) for line in result.dump_rows)
+            yield pd.DataFrame(rows, columns=["url", "line"])
+
+    return pages.mapInPandas(run, schema=DUMP_SCHEMA)
+
+
 def lineage_of(stage_df: DataFrame, stage: str) -> DataFrame:
     """Per-partition lineage/metrics rows (north rule)."""
     if "row_type" in stage_df.columns:  # long-format kernel output
