@@ -31,3 +31,24 @@ def test_corrupt_pages_are_isolated(spark):
             assert r.url in mention_urls
         else:
             assert r.url not in mention_urls
+
+
+def test_serialize_stage_isolates_bad_docs(spark):
+    """A corrupt page yields one (url, 'error', ...) row; every other
+    document still serializes."""
+    import pandas as pd
+
+    from xrenner_spark.corpus import build_page
+    from xrenner_spark.lex import load_lex
+    from xrenner_spark.pipeline import serialize_stage
+
+    rows = [build_page(i) for i in range(6)]
+    rows[2]["html"] = b"<html>no article here</html>"   # breaks extraction
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]))
+    bcast = spark.sparkContext.broadcast(load_lex())
+    out = serialize_stage(pages, bcast, formats=("sgml",)).collect()
+    errors = [r for r in out if r.fmt == "error"]
+    good = [r for r in out if r.fmt == "sgml"]
+    assert len(errors) == 1 and rows[2]["url"] == errors[0].url
+    assert len(good) == 5 and all(r.payload for r in good)

@@ -545,11 +545,15 @@ def serialize_stage(pages: DataFrame, lex_broadcast,
         for pdf in iterator:
             rows = []
             for rec in pdf.itertuples(index=False):
-                conllu = extract_conllu(rec.html)
-                if lex.depedit is not None:
-                    conllu = lex.depedit.run(conllu)
-                result = analyze_document_windowed(rec.url, conllu, lex,
-                                                   pre_rewritten=True)
+                try:
+                    conllu = extract_conllu(rec.html)
+                    if lex.depedit is not None:
+                        conllu = lex.depedit.run(conllu)
+                    result = analyze_document_windowed(rec.url, conllu, lex,
+                                                       pre_rewritten=True)
+                except Exception as exc:  # per-doc isolation: one bad page
+                    rows.append((rec.url, "error", "", repr(exc)[:500]))
+                    continue
                 docname = rec.url.rsplit("/", 1)[-1]
                 for fmt in formats:
                     if fmt == "paula":
@@ -599,11 +603,14 @@ def training_dump_stage(pages: DataFrame, lex_broadcast) -> DataFrame:
         for pdf in iterator:
             rows = []
             for rec in pdf.itertuples(index=False):
-                conllu = extract_conllu(rec.html)
-                if lex.depedit is not None:
-                    conllu = lex.depedit.run(conllu)
-                result = analyze_document_windowed(rec.url, conllu, lex,
-                                                   pre_rewritten=True)
+                try:
+                    conllu = extract_conllu(rec.html)
+                    if lex.depedit is not None:
+                        conllu = lex.depedit.run(conllu)
+                    result = analyze_document_windowed(rec.url, conllu, lex,
+                                                       pre_rewritten=True)
+                except Exception:  # per-doc isolation: skip bad pages
+                    continue
                 rows.extend((rec.url, line) for line in result.dump_rows)
             yield pd.DataFrame(rows, columns=["url", "line"])
 
