@@ -34,7 +34,8 @@ from xrenner_spark.corpus import build_document  # noqa: E402
 from xrenner_spark.kernel import (analyze_document,  # noqa: E402
                                   analyze_document_windowed)
 
-MODEL = os.path.join(REPO, "xrenner_spark/models/web")
+MODEL = os.environ.get(
+    "XRENNER_MODEL", os.path.join(REPO, "xrenner_spark/models/web"))
 
 
 def ref_mentions(conllu):
@@ -172,7 +173,7 @@ def giant_doc(n_sentences, seed=0):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    lex = load_lex()
+    lex = load_lex(MODEL)
     failures = []
 
     classes = {
