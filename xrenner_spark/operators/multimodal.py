@@ -115,6 +115,88 @@ def _multimodal_sql() -> str:
                bin0=nibble_count("0"), bin7=nibble_count("7"))
 
 
+FRAME_BYTES = 256   # fake container: fixed-size frames
+FRAME_STRIDE = 4    # sample every 4th frame
+THUMB_STRIDE = 8    # "resize": keep every 8th byte of a sampled frame
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_bytes", T.LongType()),
+    T.StructField("frame_md5", T.StringType()),   # md5 over the hex text
+    T.StructField("thumb_md5", T.StringType()),
+])
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """Frame-sampling + resize plumbing over opaque binary payloads: the
+    payload is treated as a fixed-frame container (a DETERMINISTIC FAKE
+    of a video decode — no codec libraries ship here; the Spark-side
+    shape is real: Arrow-batched mapInPandas, one output row per sampled
+    frame, numpy slicing inside the batch).  "Resize" keeps every
+    ``THUMB_STRIDE``-th byte of the frame (a 1-D thumbnail).  Checksums
+    are md5 over the UPPERCASE HEX of the slice so the DuckDB oracle can
+    recompute them on VARCHAR (its md5 takes no BLOBs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = len(data) // FRAME_BYTES
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = data[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                    thumb = frame[::THUMB_STRIDE]
+                    rows.append({
+                        "url": url,
+                        "frame_idx": idx,
+                        "frame_bytes": len(frame),
+                        "frame_md5": hashlib.md5(frame.hex().upper()
+                                                 .encode()).hexdigest(),
+                        "thumb_md5": hashlib.md5(thumb.hex().upper()
+                                                 .encode()).hexdigest(),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: sampled-frame rows over the exported
+    payload table (same export multimodal_features writes)."""
+    from .kg_oracle import EXPORT_DIR
+    multimodal_features(spark, sf_dir).count()   # ensures the export exists
+    return sample_frames(spark.read.parquet(EXPORT_DIR + "/payloads.parquet"))
+
+
+def _frame_sample_sql() -> str:
+    from .kg_oracle import EXPORT_DIR
+    # hex() emits 2 chars per byte: frame idx*2*FRAME_BYTES .. +2*FRAME_BYTES;
+    # the thumbnail is every THUMB_STRIDE-th byte = every 2*stride hex pair
+    return """
+    WITH d AS (SELECT url, hex(payload) AS hx,
+                      octet_length(payload) // {fb} AS n_frames
+               FROM read_parquet('{path}/*.parquet')),
+    frames AS (
+        SELECT url, CAST(u.i AS BIGINT) AS frame_idx,
+               substr(hx, CAST(u.i AS BIGINT) * {fb2} + 1, {fb2}) AS frame_hx
+        FROM d, LATERAL (SELECT unnest(range(0, n_frames, {stride})) AS i) u
+    )
+    SELECT url, frame_idx,
+           CAST(len(frame_hx) // 2 AS BIGINT) AS frame_bytes,
+           md5(frame_hx) AS frame_md5,
+           md5(list_aggregate(
+                 list_transform(range(0, CAST(len(frame_hx) // {tb2} AS BIGINT)),
+                                j -> substr(frame_hx, j * {tb2} + 1, 2)),
+                 'string_agg', '')) AS thumb_md5
+    FROM frames
+    """.format(path=EXPORT_DIR + "/payloads.parquet", fb=FRAME_BYTES,
+               fb2=2 * FRAME_BYTES, stride=FRAME_STRIDE,
+               tb2=2 * THUMB_STRIDE)
+
+
 QUERIES = {
     "multimodal_features": (multimodal_features, _multimodal_sql()),
+    "multimodal_frame_sample": (multimodal_frame_sample, _frame_sample_sql()),
 }
