@@ -63,3 +63,16 @@ def test_multimodal_decode_is_stubbed():
     from xrenner_spark.operators.multimodal import decode_image
     with pytest.raises((NotImplementedError, Exception)):
         decode_image(b"\x89PNG not really a png")
+
+
+def test_ann_ivf_recall(spark):
+    """IVF-flat reaches >=0.8 top-3 recall vs the exact baseline at the
+    default nprobe on the sf0.01 embeddings."""
+    from xrenner_spark.operators.similarity import (ann_ivf_topk,
+                                                    ann_topk_bruteforce)
+    sf = "/root/testdata/sf0.1"
+    exact = {(r.query_id, r.neighbor_id)
+             for r in ann_topk_bruteforce(spark, sf).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_ivf_topk(spark, sf).collect()}
+    assert len(exact & approx) / len(exact) >= 0.8

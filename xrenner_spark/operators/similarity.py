@@ -329,8 +329,125 @@ def _dedup_cosine_sql() -> str:
     """.format(sig=sig, cap=MAX_BUCKET, num=COS_T2_NUM, den=COS_T2_DEN)
 
 
+CENTROID_MIN_ID = 10  # centroid exemplars never come from query vectors
+NPROBE = 5            # cells probed per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer partitions vectors into cells,
+    each query probes its ``NPROBE`` nearest cells and searches only
+    those inverted lists exactly.  This is the second scale path beside
+    the LSH buckets: per-query work is |probed cells| x cell size
+    instead of N, and the cell assignment is one broadcast of the
+    centroid bank + a map-side argmax — no shuffle grows with the
+    centroid count.
+
+    The quantizer stands in for an offline-trained one, deterministically
+    and engine-identically: one exemplar per known corpus cluster (the
+    lowest non-query vec_id of each ``label``), so the DuckDB twin
+    recomputes cells exactly; a production build k-means the centroids
+    offline and broadcasts them the same way.  Cell assignment is exact
+    int64 squared-Euclidean (a raw dot product favors long centroids);
+    candidate scoring is the same exact int64 dot as the brute-force
+    baseline.  Measured top-3 recall vs brute force at sf0.1:
+    nprobe 3/4/5/6 -> 0.63/0.73/0.87/0.93 — the synthetic embeddings
+    are only weakly clustered (top-3 neighbor dots ~0.4, labels
+    scattered), so recall tracks the searched fraction; on a corpus
+    with real cluster structure the same plan concentrates recall into
+    few cells.  Default nprobe=5 (test_operators enforces >= 0.8)."""
+    emb = (spark.read.parquet(sf_dir + "/embeddings.parquet")
+           .repartition(spark.sparkContext.defaultParallelism, "vec_id"))
+    qcol = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
+    vecs = emb.select("vec_id", "label", qcol.alias("q")).cache()
+    vecs.count()   # feeds centroids, assignment, probes and search
+    cent_win = Window.partitionBy("label").orderBy(F.col("vec_id").asc())
+    cents = (vecs.filter(F.col("vec_id") >= CENTROID_MIN_ID)
+             .withColumn("r", F.row_number().over(cent_win))
+             .filter(F.col("r") == 1)
+             .select(F.col("label").alias("cent_id"), F.col("q").alias("cv")))
+    # cell assignment: argmin centroid by int squared-Euclidean distance
+    # (a raw dot product favors long centroids and degenerates the cells)
+    dist = F.aggregate(F.zip_with("q", "cv", lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored_cells = (vecs.crossJoin(F.broadcast(cents))
+                    .select("vec_id", "q", "cent_id", dist.alias("cdist")))
+    win = Window.partitionBy("vec_id").orderBy(
+        F.col("cdist").asc(), F.col("cent_id").asc())
+    assigned = (scored_cells.withColumn("r", F.row_number().over(win))
+                .filter(F.col("r") == 1).select("vec_id", "q", "cent_id"))
+    # query probes: top-NPROBE cells per query vector
+    probes = (scored_cells.filter(F.col("vec_id") < N_QUERIES)
+              .withColumn("r", F.row_number().over(win))
+              .filter(F.col("r") <= NPROBE)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("q").alias("qv"), "cent_id"))
+    # search only the probed inverted lists
+    cand = (probes.join(assigned, "cent_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    _dot("qv", "q").alias("score"))
+            .groupBy("query_id", "neighbor_id")   # de-dup multi-cell hits
+            .agg(F.max("score").alias("score")))
+    rank_win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(rank_win))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+ANN_IVF_SQL = """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label AS cent_id, qv AS cv FROM (
+            SELECT e.label, q.qv,
+                   row_number() OVER (PARTITION BY e.label
+                                      ORDER BY e.vec_id ASC) AS r
+            FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+            WHERE e.vec_id >= {base}
+        ) WHERE r = 1
+    ),
+    scored_cells AS (
+        SELECT q.vec_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_sum(list_transform(
+                                      list_zip(q.qv, c.cv),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2])))
+                                      ASC, c.cent_id ASC) AS r
+        FROM q, cents c
+    ),
+    assigned AS (SELECT vec_id, qv, cent_id FROM scored_cells WHERE r = 1),
+    probes AS (
+        SELECT vec_id AS query_id, qv AS pqv, cent_id FROM scored_cells
+        WHERE vec_id < {nq} AND r <= {np}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               max(list_sum(list_transform(list_zip(p.pqv, a.qv),
+                                           z -> z[1] * z[2]))) AS score
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE a.vec_id != p.query_id
+        GROUP BY p.query_id, a.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+""".format(base=CENTROID_MIN_ID, nq=N_QUERIES, np=NPROBE, k=TOP_K)
+
+
 QUERIES = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "ann_lsh_bucket": (ann_lsh_bucket, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _dedup_cosine_sql()),
 }
