@@ -120,6 +120,11 @@ class LexModel:
     speaker_rules: List[CorefRule] = field(default_factory=list)
     non_speaker_rules: List[CorefRule] = field(default_factory=list)
 
+    # portable-JSON coref classifiers keyed by rule clf_name (reference
+    # unpickles sklearn blobs into lex.classifiers, xrenner_lex.py:526-563;
+    # see kernel/classify.py for the pickle-free format)
+    classifiers: Dict[str, object] = field(default_factory=dict)
+
     # depedit.ini pre-rewriting engine (kernel/depedit_lite.DepEditLite),
     # or None when the model ships no config — reference gates identically
     # on "depedit.ini" in model_files (xrenner_xrenner.py:39-43)
@@ -211,7 +216,8 @@ def _load_filters(model_dir: str) -> Filters:
     return filters
 
 
-def load_lex(model_dir: Optional[str] = None) -> LexModel:
+def load_lex(model_dir: Optional[str] = None,
+             rule_based: bool = False) -> LexModel:
     """Load a model directory — or a zipped ``.xrm`` model, the format
     distributed models ship in (reference xrenner_lex.py:87-99 reads the
     same files through ZipFile handles; we unpack to a tempdir and load
@@ -240,6 +246,10 @@ def load_lex(model_dir: Optional[str] = None) -> LexModel:
 
     lex = LexModel(model_dir=model_dir, filters=_load_filters(model_dir))
     f = lex.filters
+    if rule_based:
+        # the reference's -r switch forces the heuristic path regardless
+        # of model config (xrenner_lex.py:106-107)
+        f["use_classifiers"] = False
 
     def path(name):
         return os.path.join(model_dir, name)
@@ -407,6 +417,12 @@ def load_lex(model_dir: Optional[str] = None) -> LexModel:
         lex.speaker_rules.append(rule)
         if "speaker" not in line:
             lex.non_speaker_rules.append(CorefRule(line, rule_num, thresh=rule.thresh))
+
+    # --- portable classifiers (xrenner_lex.py:526-563) -----------------
+    if f["use_classifiers"]:
+        from .kernel.classify import load_model_classifiers
+        lex.classifiers = load_model_classifiers(
+            model_dir, lex.speaker_rules + lex.non_speaker_rules, f)
 
     # --- depedit pre-rewriting (xrenner_xrenner.py:39-43) --------------
     if have("depedit.ini"):
