@@ -36,7 +36,8 @@ def main():
     from xrenner_spark.lex import load_lex
     from xrenner_spark.pipeline import (fused_extract_kernel_stage,
                                         generate_pages, salt_by_url, triples_stage)
-    from xrenner_spark.operators import relational, dedup, similarity, textstats
+    from xrenner_spark.operators import (relational, dedup, similarity,
+                                         textstats, ml_score)
 
     spark = get_spark("bench", cores=CORES, shuffle_partitions=max(32, CORES))
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,6 +76,7 @@ def main():
         "ann_lsh_bucket": similarity.ann_lsh_bucket,
         "text_quality": textstats.text_quality,
         "text_lang_id": textstats.text_lang_id,
+        "clf_score_gbt": ml_score.clf_score_gbt,
         "rel_grouped_agg": relational.rel_grouped_agg,
         "rel_broadcast_join": relational.rel_broadcast_join,
         "rel_join_chain": relational.rel_join_chain,
