@@ -35,7 +35,8 @@ class Token:
                  "original_head", "func", "head2", "func2", "sentence",
                  "modifiers", "child_funcs", "child_strings", "quoted",
                  "coordinate", "head_text", "head_pos", "lemma_freq",
-                 "negated", "neg_parent", "sent_position", "doc_position")
+                 "negated", "neg_parent", "sent_position", "doc_position",
+                 "seq_pred")
 
     def __init__(self, tid: int, text: str, lemma: str, pos: str, morph: str,
                  head: int, func: str, sentence: Sentence, quoted: bool = False,
@@ -64,6 +65,9 @@ class Token:
         self.neg_parent = False
         self.sent_position = 0.0
         self.doc_position = 0.0
+        # (tag, proba) set by read_document when a sequencer is active
+        # (reference sets the attribute dynamically, xrenner_xrenner.py:191-192)
+        self.seq_pred = None
 
     def __repr__(self):  # pragma: no cover
         return f"{self.text}({self.pos}/{self.func}<-{self.head})"

@@ -188,9 +188,14 @@ def resolve_mark_entity(mark: Markable, doc: DocState):
             entity = f["person_def_entity"]
             mark.entity_certainty = "uncertain"
         else:
+            # sequencer fallback for other pronouns (reference
+            # xrenner_marker.py:152-156): any non-"O" tag wins, no threshold
+            if lex.sequencer is not None and tok.seq_pred[0] != "O":
+                entity = tok.seq_pred[0]
+                mark.entity_certainty = "sequencer"
             # literal dependency probe (kept reference-faithful: the func is
             # looked up inside the entity->freq dict, so this rarely fires)
-            if parent_text in lex.entity_deps and \
+            if entity == "" and parent_text in lex.entity_deps and \
                     tok.func in lex.entity_deps[parent_text].get(tok.func, {}):
                 dep_ents = dict(lex.entity_deps[parent_text][tok.func])
                 if f["no_person_agree"].match(mark.agree) is not None \
@@ -213,6 +218,14 @@ def resolve_mark_entity(mark: Markable, doc: DocState):
                 entity = f["default_entity"]
                 mark.entity_certainty = "uncertain"
     elif mark.coordinate:
+        # high-confidence sequencer override (reference
+        # xrenner_marker.py:186-191 sits before the coordinate split; every
+        # later probe here is entity==""-guarded, so seeding each branch is
+        # equivalent)
+        if lex.sequencer is not None and tok.seq_pred[0] != "O" \
+                and tok.seq_pred[1] > lex.filters["sequencer_override_thresh"]:
+            entity = tok.seq_pred[0]
+            mark.entity_certainty = "sequencer"
         # constituents decide later via assign_coordinate_entity, unless the
         # whole coordination is a listed entity
         if entity == "":
@@ -220,6 +233,11 @@ def resolve_mark_entity(mark: Markable, doc: DocState):
         if entity == "":
             entity = resolve_entity_cascade(mark.core_text, mark, lex)
     else:
+        if lex.sequencer is not None and tok.seq_pred[0] != "O" \
+                and tok.seq_pred[1] > lex.filters["sequencer_override_thresh"]:
+            # see note on the coordinate branch above
+            entity = tok.seq_pred[0]
+            mark.entity_certainty = "sequencer"
         if entity == "" and _YEAR_OR_TIME.match(tok.text) is not None:
             entity = f["time_def_entity"]
             mark.entity_certainty = "uncertain"
@@ -278,6 +296,12 @@ def resolve_mark_entity(mark: Markable, doc: DocState):
                         if mod.text.strip().lower() in lex.entity_heads)
                     if not (any_article or any_def or any_default_head):
                         entity = f["person_def_entity"]
+        if entity == "" and lex.sequencer is not None \
+                and tok.seq_pred[0] != "O":
+            # last gazetteer-free probe before morphology: take any
+            # non-"O" sequencer tag (reference xrenner_marker.py:253-259)
+            entity = tok.seq_pred[0]
+            mark.entity_certainty = "sequencer"
         if entity == "":
             # combine affix-morphology, dependency and similarity evidence
             head_text = tok.lemma if tok.lemma not in ("_", "") else tok.text
@@ -416,6 +440,12 @@ def disambiguate_entity(mark: Markable, lex) -> str:
     """Choose among alt_entities via dependency statistics, gazetteer
     frequencies, then global sums (reference xrenner_marker.py:856-927)."""
     f = lex.filters
+    # prefer the sequencer tag when it is one of the gazetteer options
+    # (reference xrenner_marker.py:869-873)
+    if lex.sequencer is not None:
+        seq_ent = mark.head.seq_pred[0]
+        if seq_ent in mark.alt_entities:
+            return seq_ent
     parent_text = mark.head.head_text
     scores: Dict[str, float] = {}
     if f["default_entity"] in mark.alt_entities:

@@ -41,6 +41,11 @@ def read_document(conllu_text: str, lex) -> DocState:
         lemmas += [cols[2] for cols in tablines if "-" not in cols[0]]
         s_texts.append(" ".join(words))
 
+    # sequence-label all tokens before reading sentences (reference
+    # xrenner_xrenner.py:159-163; flat list indexed by global id - 1)
+    seq_preds = lex.sequencer.predict_proba(s_texts) \
+        if lex.sequencer is not None else None
+
     for line in lines:
         if line.startswith("#") and "speaker" in line and "=" in line:
             current.speaker = line.split("=")[1].strip()
@@ -77,6 +82,8 @@ def read_document(conllu_text: str, lex) -> DocState:
                 morph = lex.process_morph(morph)
             tok = Token(tid, text, lemma, pos, morph, head, tok_func, current,
                         quoted, cols[8], cols[9])
+            if seq_preds is not None:
+                tok.seq_pred = seq_preds[int(cols[0]) + tokoffset - 1]
             doc.tokens.append(tok)
             sentlength += 1
             # children only via span-linking functions (markable propagation)
@@ -400,7 +407,19 @@ def find_stop_zones(doc: DocState, tokoffset: int, upto: int,
     # n-gram window of up to 4 tokens — interleaved exactly as in the
     # reference's dead-areas loop, because the rewiring reads stop flags
     # set by earlier iterations
+    use_sequencer = lex.sequencer is not None
     for tok1 in toks[tokoffset + 1:upto + 1]:
+        if use_sequencer:
+            # confident "O" prediction on an eligible POS suppresses the
+            # token as a markable head, unless a forbidden child func
+            # hangs off it (reference xrenner_xrenner.py:471-474; runs
+            # BEFORE the affix rewiring, which reads these flags)
+            if tok1.seq_pred[0] == "O" \
+                    and tok1.seq_pred[1] > lex.filters["sequencer_nonref_thresh"] \
+                    and lex.filters["sequencer_nonref_pos"].match(tok1.pos) is not None:
+                if not any(lex.filters["sequencer_nonref_forbidden_childfunc"]
+                           .match(cf) is not None for cf in tok1.child_funcs):
+                    stop_ids[tok1.tid] = True
         if postprocess:
             _affix_stop_reroute(doc, tok1, tokoffset, upto, stop_ids)
         candidate = ""

@@ -125,6 +125,10 @@ class LexModel:
     # see kernel/classify.py for the pickle-free format)
     classifiers: Dict[str, object] = field(default_factory=dict)
 
+    # sequence tagger (kernel/sequence.py), or None — reference
+    # xrenner_lex.py:165-177 loads one when config.ini sets sequencer=
+    sequencer: Optional[object] = None
+
     # depedit.ini pre-rewriting engine (kernel/depedit_lite.DepEditLite),
     # or None when the model ships no config — reference gates identically
     # on "depedit.ini" in model_files (xrenner_xrenner.py:39-43)
@@ -217,7 +221,7 @@ def _load_filters(model_dir: str) -> Filters:
 
 
 def load_lex(model_dir: Optional[str] = None,
-             rule_based: bool = False) -> LexModel:
+             rule_based: bool = False, no_seq: bool = False) -> LexModel:
     """Load a model directory — or a zipped ``.xrm`` model, the format
     distributed models ship in (reference xrenner_lex.py:87-99 reads the
     same files through ZipFile handles; we unpack to a tempdir and load
@@ -250,6 +254,13 @@ def load_lex(model_dir: Optional[str] = None,
         # the reference's -r switch forces the heuristic path regardless
         # of model config (xrenner_lex.py:106-107)
         f["use_classifiers"] = False
+
+    # --- sequence tagger (xrenner_lex.py:165-177) ----------------------
+    if not no_seq and f["sequencer"]:
+        from .kernel.sequence import load_sequencer
+        lex.sequencer = load_sequencer(model_dir, f)
+        if "sequencer_override_thresh" not in f:
+            f["sequencer_override_thresh"] = 1.0  # prefer KB entries
 
     def path(name):
         return os.path.join(model_dir, name)
