@@ -76,3 +76,33 @@ def test_ann_ivf_recall(spark):
     approx = {(r.query_id, r.neighbor_id)
               for r in ann_ivf_topk(spark, sf).collect()}
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_domain_cap_two_phase_equals_single_window(spark):
+    """The skew-safe two-phase top-K must reproduce the naive single
+    window exactly (sampling.py module docstring)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from xrenner_spark.operators.sampling import DOMAIN_CAP, doc_domain_cap
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    hkey = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                   16, 10).cast("long"))
+    w = Window.partitionBy("source").orderBy(hkey, "doc_id")
+    naive = {(r.doc_id, r.source, r.keep_rank) for r in
+             docs.withColumn("keep_rank", F.row_number().over(w))
+                 .filter(F.col("keep_rank") <= DOMAIN_CAP)
+                 .select("doc_id", "source", "keep_rank").collect()}
+    two_phase = {(r.doc_id, r.source, r.keep_rank) for r in
+                 doc_domain_cap(spark, SF).collect()}
+    assert two_phase == naive and len(two_phase) > 0
+
+
+def test_split_stratified_partitions_everything(spark):
+    from xrenner_spark.operators.sampling import doc_split_stratified
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    rows = doc_split_stratified(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    # deterministic: same assignment on re-run
+    again = doc_split_stratified(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -8,11 +8,13 @@ names and deterministic orderings are aligned so the driver's
 order-insensitive value-hash comparison holds bit-for-bit.
 """
 
-from . import dedup, similarity, textstats, multimodal, ml_score  # noqa: F401
+from . import (dedup, similarity, textstats, multimodal, ml_score,  # noqa: F401
+               sampling)
 
 
 def all_queries():
     out = {}
-    for module in (dedup, similarity, textstats, multimodal, ml_score):
+    for module in (dedup, similarity, textstats, multimodal, ml_score,
+                   sampling):
         out.update(module.QUERIES)
     return out

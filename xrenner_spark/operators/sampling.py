@@ -1,0 +1,121 @@
+"""Deterministic corpus sampling / quota operators.
+
+Standard web-corpus training-data stages that sit next to dedup in a
+100 TB pipeline:
+
+* ``doc_split_stratified`` — reproducible train/val/test assignment by
+  content-free hashing (md5 of the document id -> percentile bucket),
+  reported stratified by language.  Pure map + a tiny-cardinality
+  aggregate with map-side combine: one shuffle of |langs|x3 rows no
+  matter the corpus size.
+
+* ``doc_domain_cap`` — quota sampling: keep at most K documents per
+  source/domain, chosen pseudo-randomly but deterministically (ordered
+  by a per-doc md5 key).  The naive form is one ``row_number()`` window
+  per domain — which at web scale dies on mega-domains (a single
+  blogspot-sized key would serialize billions of rows through one
+  task, and AQE's skew handling does NOT split window partitions).
+  Implemented instead as an exact **two-phase top-K**: phase 1 ranks
+  within (domain, salt) — S bounded sub-partitions per domain — and
+  keeps K per sub-partition; phase 2 re-ranks the <= S*K survivors per
+  domain and keeps K.  Top-K of the per-salt top-Ks always contains
+  the global top-K, so the result is exactly the single-window answer
+  (the DuckDB oracle computes it with one plain ``row_number()`` — an
+  independent path), while the worst task ever sees max(rows-per-salt)
+  ~ domain_size/S rows and the phase-2 input is bounded by S*K per
+  domain.
+
+Both use the repo's cross-engine md5->int recipe (15 hex chars ->
+BIGINT), already oracle-validated by the dedup/minhash operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TRAIN_PCT = 80      # hash-bucket < 80  -> train
+VAL_PCT = 90        # hash-bucket < 90  -> val, else test
+DOMAIN_CAP = 10     # max docs kept per source
+SALTS = 8           # phase-1 sub-partitions per domain
+
+
+def _hash_bucket(col):
+    """Stable 0-99 bucket from md5 of a column (Spark side)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100)
+
+
+def doc_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified report of the deterministic 80/10/10 split."""
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (F.when(bucket < TRAIN_PCT, F.lit("train"))
+             .when(bucket < VAL_PCT, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (docs.select("lang", split.alias("split"), "n_chars")
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def doc_split_stratified_sql() -> str:
+    return """
+    WITH b AS (
+        SELECT lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   %% 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < %d THEN 'train'
+                WHEN bucket < %d THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM b GROUP BY 1, 2
+    """ % (TRAIN_PCT, VAL_PCT)
+
+
+def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep <= DOMAIN_CAP docs per source via skew-safe two-phase top-K
+    (see module docstring); sort key = md5(doc_id) with doc_id tiebreak,
+    so selection is pseudo-random yet replay-deterministic."""
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    hkey = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                   16, 10).cast("long"))
+    salted = docs.select(
+        "doc_id", "source", hkey.alias("hkey"),
+        (F.pmod(F.hash("doc_id"), F.lit(SALTS))).alias("salt"))
+    w1 = Window.partitionBy("source", "salt").orderBy("hkey", "doc_id")
+    survivors = (salted
+                 .withColumn("rn1", F.row_number().over(w1))
+                 .filter(F.col("rn1") <= DOMAIN_CAP))
+    w2 = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (survivors
+            .withColumn("keep_rank", F.row_number().over(w2))
+            .filter(F.col("keep_rank") <= DOMAIN_CAP)
+            .select("doc_id", "source", "keep_rank"))
+
+
+def doc_domain_cap_sql() -> str:
+    # independent path: ONE plain window — correct in DuckDB at oracle
+    # scale, and exactly what the two-phase plan must reproduce
+    return """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id
+               ) AS keep_rank
+        FROM documents
+    )
+    SELECT doc_id, source, keep_rank FROM ranked WHERE keep_rank <= %d
+    """ % DOMAIN_CAP
+
+
+QUERIES = {
+    "doc_split_stratified": (doc_split_stratified, doc_split_stratified_sql()),
+    "doc_domain_cap": (doc_domain_cap, doc_domain_cap_sql()),
+}
