@@ -106,3 +106,28 @@ def test_split_stratified_partitions_everything(spark):
     # deterministic: same assignment on re-run
     again = doc_split_stratified(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_distributed_prefix_equals_global_window(spark):
+    """The distributed prefix sum must reproduce the naive global-window
+    packing exactly (sampling.pack_sequences docstring)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from xrenner_spark.operators.sampling import PACK_BUDGET, pack_sequences
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    cost = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {(r.doc_id, r.n_tokens, r.bin_id, r.offset_in_bin) for r in
+             docs.select("doc_id", cost.alias("n_tokens"))
+                 .withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+                 .select("doc_id", "n_tokens",
+                         F.expr("prefix div %d" % PACK_BUDGET).alias("bin_id"),
+                         (F.col("prefix") % PACK_BUDGET).alias("offset_in_bin"))
+                 .collect()}
+    got = {(r.doc_id, r.n_tokens, r.bin_id, r.offset_in_bin) for r in
+           pack_sequences(spark, SF).collect()}
+    assert got == naive and len(got) > 0
+    # packing invariants: bins are contiguous from 0; offsets < budget
+    bins = sorted({b for (_, _, b, _) in got})
+    assert bins == list(range(len(bins)))
+    assert all(0 <= off < PACK_BUDGET for (_, _, _, off) in got)

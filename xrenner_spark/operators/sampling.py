@@ -119,3 +119,83 @@ QUERIES = {
     "doc_split_stratified": (doc_split_stratified, doc_split_stratified_sql()),
     "doc_domain_cap": (doc_domain_cap, doc_domain_cap_sql()),
 }
+
+
+# ---------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------
+
+PACK_BUDGET = 4096  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to a fixed-token-budget training bin:
+    documents stream in doc_id order into PACK_BUDGET-token sequences
+    (concat-and-chunk packing; a doc belongs to the bin where its first
+    token lands), i.e. ``bin = exclusive_prefix_sum(tokens) div budget``.
+
+    The global running sum is the scale problem: one
+    ``SUM() OVER (ORDER BY doc_id)`` window has no PARTITION BY, so
+    Spark computes it in a SINGLE task — a non-starter at 100 TB.
+    Implemented instead as a **distributed prefix sum**:
+
+    1. ``repartitionByRange`` on doc_id — partitions hold ordered,
+       disjoint key ranges (boundaries are sampled, but the final
+       prefix values are invariant to where the cuts land);
+    2. local exclusive cumsum per partition (window over the range id);
+    3. per-partition totals (a P-row aggregate) turned into partition
+       offsets by a window over that tiny frame, broadcast-joined back.
+
+    Two full-data shuffles, every window bounded by one partition's
+    rows, no driver collect.  The DuckDB oracle computes the same
+    answer with the naive single global window — an independent path
+    that is fine at oracle scale.
+    """
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    cost = F.size(F.filter(F.split("text", " "), lambda w: w != "")) \
+        .cast("long")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    sized = (docs.select("doc_id", cost.alias("n_tokens"))
+             .repartitionByRange(par, "doc_id")
+             .withColumn("pid", F.spark_partition_id()))
+    w_local = (Window.partitionBy("pid").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = sized.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
+    totals = sized.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "poffset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("pid", "poffset")), "pid")
+            .select("doc_id", "n_tokens",
+                    F.expr("(local_prefix + poffset) div %d" % PACK_BUDGET)
+                    .alias("bin_id"),
+                    ((F.col("local_prefix") + F.col("poffset"))
+                     % PACK_BUDGET).alias("offset_in_bin")))
+
+
+def pack_sequences_sql() -> str:
+    return """
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    pfx AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prefix
+        FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           prefix // {budget} AS bin_id,
+           prefix %% {budget} AS offset_in_bin
+    FROM pfx
+    """.format(budget=PACK_BUDGET) % ()
+
+
+QUERIES["pack_sequences"] = (pack_sequences, pack_sequences_sql())
