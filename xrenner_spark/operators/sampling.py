@@ -139,30 +139,52 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark computes it in a SINGLE task — a non-starter at 100 TB.
     Implemented instead as a **distributed prefix sum**:
 
-    1. ``repartitionByRange`` on doc_id — partitions hold ordered,
-       disjoint key ranges (boundaries are sampled, but the final
-       prefix values are invariant to where the cuts land);
-    2. local exclusive cumsum per partition (window over the range id);
-    3. per-partition totals (a P-row aggregate) turned into partition
-       offsets by a window over that tiny frame, broadcast-joined back.
+    1. deterministic monotone bucketing of doc_id into P ordered ranges
+       (one O(1) max-id scalar pre-job, AQE-statistics-scale);
+    2. local exclusive cumsum per bucket (window partitioned by pid);
+    3. bucket totals — max inclusive prefix per pid, computed FROM the
+       windowed branch so the pid exchange is shared — turned into
+       bucket offsets by a window over that P-row frame and
+       broadcast-joined back.
 
-    Two full-data shuffles, every window bounded by one partition's
-    rows, no driver collect.  The DuckDB oracle computes the same
-    answer with the naive single global window — an independent path
-    that is fine at oracle scale.
+    The executed plan scans and shuffles the table ONCE (the totals
+    branch is a ReusedExchange); every window is bounded by one
+    bucket's rows.  The DuckDB oracle computes the same answer with
+    the naive single global window — an independent path that is fine
+    at oracle scale.
     """
     docs = spark.read.parquet(sf_dir + "/documents.parquet")
-    cost = F.size(F.filter(F.split("text", " "), lambda w: w != "")) \
-        .cast("long")
+    # == size(filter(split(text,' '), w != '')) but lambda-free: higher-
+    # order-function lambdas carry fresh variable ids that defeat plan
+    # canonicalization, and without canonical equality Spark will not
+    # reuse the pid exchange between the prefix and totals branches
+    cost = F.regexp_count("text", F.lit("[^ ]+")).cast("long")
     par = max(spark.sparkContext.defaultParallelism, 8)
-    sized = (docs.select("doc_id", cost.alias("n_tokens"))
-             .repartitionByRange(par, "doc_id")
-             .withColumn("pid", F.spark_partition_id()))
+    # deterministic monotone bucketing (NOT spark_partition_id(): that is
+    # a nondeterministic expression, which disqualifies the subtree from
+    # exchange reuse and would force a second full scan+shuffle for the
+    # totals branch).  One O(1) scalar pre-job — AQE-statistics-scale —
+    # fixes the bucket boundaries
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
+    sized = docs.select(
+        "doc_id", cost.alias("n_tokens"),
+        (F.col("doc_id") * par / (max_id + 1)).cast("int").alias("pid"))
+    # pre-seed the join's IsNotNull(pid) in BOTH branches: otherwise the
+    # null filter is pushed to the scan on the probe side only, the two
+    # exchange subtrees stop being canonically equal, and the totals
+    # branch re-scans and re-shuffles the whole table
+    sized = sized.filter(F.col("pid").isNotNull())
     w_local = (Window.partitionBy("pid").orderBy("doc_id")
                .rowsBetween(Window.unboundedPreceding, -1))
     local = sized.withColumn(
         "local_prefix", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
-    totals = sized.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
+    # partition totals from the windowed branch itself (max of inclusive
+    # prefix): the groupBy key equals the window partitioning, so Spark
+    # reuses the pid exchange instead of re-scanning the table
+    totals = (local
+              .groupBy("pid")
+              .agg(F.max(F.col("local_prefix") + F.col("n_tokens"))
+                   .alias("ptotal")))
     w_off = (Window.orderBy("pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(
