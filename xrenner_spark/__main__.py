@@ -1,0 +1,6 @@
+"""``python -m xrenner_spark`` entry point (see cli.py)."""
+import sys
+
+from .cli import main
+
+sys.exit(main())

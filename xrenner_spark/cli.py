@@ -1,0 +1,184 @@
+"""Drop-in command line: ``python -m xrenner_spark [options] file``.
+
+Mirrors the reference CLI (reference xrenner.py:155-169 argument
+surface; :100-147 per-file worker behavior): glob input, one output
+format per run, stdout for a single file / ``<docname>.<ext>`` files
+for many, ``-r`` rule-based mode, ``--noseq``, ``--oracle``, ``-d``
+training dump with merged header line, ``-v`` run stats.
+
+The parallelism story is the one reference divergence: the reference
+forks ``-p`` OS processes (xrenner.py:201-209); here ``-p`` >= 2 runs
+the same per-document function through Spark ``local[p]`` with the
+model broadcast once — identical output files, and the path a cluster
+deployment would take (the distributed serialize_stage in pipeline.py
+is this same dispatch over a DataFrame of pages).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import io
+import os
+import sys
+import time
+
+from . import output as out_mod
+
+VERSION = "xrenner_spark 3.0"
+
+#: format -> (serializer, file extension); serializer(result, docname)
+_EXT = {"sgml": "sgml", "conll": "conll", "conll_sent": "conll",
+        "onto": "xml", "html": "html", "webanno": "xmi",
+        "webannotsv": "tsv", "unittest": "tab", "none": None,
+        "paula": None}
+
+
+def serialize(result, docname: str, fmt: str, parse: str, model: str):
+    if fmt == "sgml":
+        return out_mod.output_sgml(result)
+    if fmt == "conll":
+        return out_mod.output_conll(result, docname)
+    if fmt == "conll_sent":
+        return out_mod.output_conll_sent(result, docname)
+    if fmt == "onto":
+        return out_mod.output_onto(result, docname)
+    if fmt == "html":
+        return out_mod.output_html(result)
+    if fmt == "webanno":
+        return out_mod.output_webanno(result)
+    if fmt == "webannotsv":
+        return out_mod.output_webannotsv(result)
+    if fmt == "unittest":
+        return out_mod.output_testcase(result, parse, model=model,
+                                       name=docname)
+    return None
+
+
+def process_file(path: str, lex, fmt: str, model_name: str):
+    """One document end-to-end: returns (docname, payload-or-paula-dict,
+    dump_rows, dump_headers, n_tokens, n_sentences)."""
+    from .kernel import analyze_document
+    with io.open(path, encoding="utf8") as fh:
+        parse = fh.read()
+    docname = os.path.basename(path)
+    for ext in (".conllu", ".conll10", ".conll", ".txt"):
+        if docname.endswith(ext):
+            docname = docname[: -len(ext)]
+            break
+    result = analyze_document(docname, parse, lex)
+    if fmt == "paula":
+        payload = out_mod.output_paula(result, docname)
+    else:
+        payload = serialize(result, docname, fmt, parse, model_name)
+    return (docname, payload, list(result.dump_rows),
+            list(result.dump_headers), result.n_tokens, result.n_sentences)
+
+
+def _emit(docname: str, fmt: str, payload, single: bool):
+    if fmt == "none" or payload is None:
+        return
+    if fmt == "paula":  # multi-file standoff: one directory per doc
+        os.makedirs(docname, exist_ok=True)
+        for fn, data in payload.items():
+            with io.open(os.path.join(docname, fn), "w", encoding="utf8",
+                         newline="\n") as fh:
+                fh.write(data)
+        return
+    if single:
+        sys.stdout.buffer.write(payload.encode("utf8"))
+    else:
+        with io.open(docname + "." + _EXT[fmt], "w", encoding="utf8",
+                     newline="\n") as fh:
+            fh.write(payload)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="xrenner_spark")
+    ap.add_argument("-o", "--output", dest="format", default="sgml",
+                    choices=sorted(_EXT),
+                    help="output format, default: sgml")
+    ap.add_argument("-m", "--model", default="web",
+                    help="model name in xrenner_spark/models/, a model "
+                         "directory path, or a zip .xrm")
+    ap.add_argument("-r", "--rulebased", action="store_true",
+                    help="run model without machine learning classifiers")
+    ap.add_argument("--noseq", action="store_true",
+                    help="do not use a sequence tagger for entity "
+                         "classification")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="output run time and summary")
+    ap.add_argument("-p", "--procs", type=int, default=1,
+                    help="parallelism; >=2 dispatches files through Spark "
+                         "local[p]")
+    ap.add_argument("-d", "--dump", default=None,
+                    help="file to dump training analyses into")
+    ap.add_argument("--oracle", default=None,
+                    help="file with oracle entity predictions")
+    ap.add_argument("--version", action="version", version=VERSION)
+    ap.add_argument("file", help="input file or glob")
+    opts = ap.parse_args(argv)
+
+    from .lex import load_lex
+    t0 = time.time()
+    model_dir = opts.model
+    if os.sep not in model_dir and not os.path.exists(model_dir):
+        model_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "models", opts.model)
+    lex = load_lex(model_dir, rule_based=opts.rulebased, no_seq=opts.noseq)
+    if opts.oracle:
+        lex.read_oracle(opts.oracle)
+    if opts.dump:
+        lex.dump = True
+        if "." not in os.path.basename(opts.dump):
+            opts.dump += ".tab"
+
+    files = sorted(glob.glob(opts.file))
+    if not files:
+        sys.stderr.write("Can't find input at %s\nAborting\n" % opts.file)
+        return 2
+    single = len(files) == 1
+
+    total_toks = total_sents = 0
+    dump_rows, dump_headers = [], []
+
+    if opts.procs >= 2 and len(files) > 1:
+        from .session import get_spark
+        spark = get_spark("xrenner-cli", cores=opts.procs,
+                          shuffle_partitions=opts.procs)
+        spark.sparkContext.setLogLevel("ERROR")
+        bcast = spark.sparkContext.broadcast(lex)
+        fmt, model_name = opts.format, opts.model
+        sc = spark.sparkContext
+        results = (sc.parallelize(files, min(opts.procs, len(files)))
+                   .map(lambda p: process_file(p, bcast.value, fmt, model_name))
+                   .collect())
+    else:
+        results = [process_file(p, lex, opts.format, opts.model)
+                   for p in files]
+
+    for docname, payload, rows, headers, n_toks, n_sents in results:
+        _emit(docname, opts.format, payload, single)
+        total_toks += n_toks
+        total_sents += n_sents
+        seen = set(dump_rows)
+        dump_rows.extend(r for r in rows if r not in seen)
+        if not dump_headers:
+            dump_headers = headers
+
+    if opts.dump and dump_rows:
+        with io.open(opts.dump, "w", encoding="utf8", newline="\n") as fh:
+            fh.write("\t".join(dump_headers) + "\n")
+            for row in dump_rows:
+                fh.write(row + "\n")
+
+    if opts.verbose:
+        sys.stderr.write("=" * 40 + "\n")
+        sys.stderr.write("Processed %d tokens in %d sentences (%d docs, "
+                         "%.1fs)\n" % (total_toks, total_sents, len(files),
+                                       time.time() - t0))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
