@@ -75,3 +75,19 @@ def test_rulebased_and_noseq_flags_accepted(tmp_path, monkeypatch, capsysbinary)
     monkeypatch.chdir(tmp_path)
     assert main(["-r", "--noseq", "-o", "sgml", first_doc()]) == 0
     assert capsysbinary.readouterr().out  # produced output
+
+
+def test_override_ini_section(tmp_path):
+    """-x applies override.ini values, but only for keys also present in
+    [main] (reference xrenner_lex.py:366 iterates main's options)."""
+    import xrenner_spark.lex as L
+    dst = str(tmp_path / "web_ovr")
+    shutil.copytree(L.DEFAULT_MODEL_DIR, dst)
+    with io.open(os.path.join(dst, "override.ini"), "w") as fh:
+        fh.write("[TEST]\ndefault_entity=thing\nonly_in_override=zzz\n")
+    lex = load_lex(dst, override="TEST")
+    assert lex.filters["default_entity"] == "thing"
+    assert lex.filters["only_in_override"] == ""  # ignored: not in [main]
+    assert load_lex(dst).filters["default_entity"] == "abstract"
+    with pytest.raises(IOError, match="No section"):
+        load_lex(dst, override="MISSING")

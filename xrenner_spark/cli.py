@@ -101,6 +101,9 @@ def main(argv=None):
     ap.add_argument("-m", "--model", default="web",
                     help="model name in xrenner_spark/models/, a model "
                          "directory path, or a zip .xrm")
+    ap.add_argument("-x", "--override", default=None,
+                    help="section in the model's override.ini with "
+                         "alternative settings")
     ap.add_argument("-r", "--rulebased", action="store_true",
                     help="run model without machine learning classifiers")
     ap.add_argument("--noseq", action="store_true",
@@ -125,7 +128,8 @@ def main(argv=None):
     if os.sep not in model_dir and not os.path.exists(model_dir):
         model_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "models", opts.model)
-    lex = load_lex(model_dir, rule_based=opts.rulebased, no_seq=opts.noseq)
+    lex = load_lex(model_dir, rule_based=opts.rulebased, no_seq=opts.noseq,
+                   override=opts.override)
     if opts.oracle:
         lex.read_oracle(opts.oracle)
     if opts.dump:

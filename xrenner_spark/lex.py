@@ -190,7 +190,7 @@ class LexModel:
                         (int(start), int(end) - 1)] = entity
 
 
-def _load_filters(model_dir: str) -> Filters:
+def _load_filters(model_dir: str, override: Optional[str] = None) -> Filters:
     config = configparser.RawConfigParser()
     with io.open(os.path.join(model_dir, "config.ini"), encoding="utf8") as fh:
         config.read_file(fh)
@@ -200,8 +200,24 @@ def _load_filters(model_dir: str) -> Filters:
     filters["non_extend_pos"] = NEVER_MATCH
     filters["core_infixes"] = NEVER_MATCH
     filters["score_thresh"] = 0.5
+    # per-corpus override.ini section (reference xrenner_lex.py:356-386).
+    # Reference quirk kept: only options ALSO present in [main] are
+    # overridden — keys that appear solely in the override section are
+    # silently ignored (the loop iterates main's options)
+    ovrd = None
+    if override:
+        ovrd = configparser.RawConfigParser()
+        with io.open(os.path.join(model_dir, "override.ini"),
+                     encoding="utf8") as fh:
+            ovrd.read_file(fh)
+        if not ovrd.has_section(override):
+            raise IOError("No section %s in override.ini in model %s"
+                          % (override, model_dir))
     for option in config.options("main"):
-        filters[option] = _type_config_value(config.get("main", option))
+        if ovrd is not None and ovrd.has_option(override, option):
+            filters[option] = _type_config_value(ovrd.get(override, option))
+        else:
+            filters[option] = _type_config_value(config.get("main", option))
     # agree->entity shortcut map parsed from "agree>entity;..." syntax.
     # NB: the reference keeps a literal {"none": "none"} entry from the
     # conventional none>none placeholder (xrenner_lex.py:407-415), and
@@ -221,7 +237,8 @@ def _load_filters(model_dir: str) -> Filters:
 
 
 def load_lex(model_dir: Optional[str] = None,
-             rule_based: bool = False, no_seq: bool = False) -> LexModel:
+             rule_based: bool = False, no_seq: bool = False,
+             override: Optional[str] = None) -> LexModel:
     """Load a model directory — or a zipped ``.xrm`` model, the format
     distributed models ship in (reference xrenner_lex.py:87-99 reads the
     same files through ZipFile handles; we unpack to a tempdir and load
@@ -248,7 +265,8 @@ def load_lex(model_dir: Optional[str] = None,
     if not os.path.isdir(model_dir):
         raise IOError("model directory not found: %s" % model_dir)
 
-    lex = LexModel(model_dir=model_dir, filters=_load_filters(model_dir))
+    lex = LexModel(model_dir=model_dir,
+                   filters=_load_filters(model_dir, override=override))
     f = lex.filters
     if rule_based:
         # the reference's -r switch forces the heuristic path regardless
