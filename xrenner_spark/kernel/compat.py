@@ -584,28 +584,32 @@ def best_candidate(markable: Markable, candidate_set, lex, doc: DocState, rule,
         markable.matching_rule = rule.rule_num
         return min(candidate_set, key=lambda c: abs(markable.start - c.start))
 
-    heuristic = rule.clf_name == "_default_" or not lex.filters["use_classifiers"]
-    candidates = list(candidate_set)
+    heuristic = not rule.use_clf
+    best = None
+    max_score = None
     if heuristic or lex.dump:
-        # dump mode skips "accurate prediction for speed" but keeps the
+        # hot path: inline loop, no list materialization.  Dump mode
+        # skips "accurate prediction for speed" but keeps the
         # classifier-mode threshold gate below — reference quirk
         # (xrenner_compatible.py:627-635: clf_input/preds only when
         # lex.dump is None, while `heuristic` stays False)
-        scores = [score_match_heuristic(markable, c, lex, doc)
-                  for c in candidates]
+        for candidate in candidate_set:
+            score = score_match_heuristic(markable, candidate, lex, doc)
+            if max_score is None or score > max_score:
+                max_score = score
+                best = candidate
     else:
         # classifier mode (reference xrenner_compatible.py:624-638): one
         # feature matrix over the whole candidate set, probabilities
         # replace the heuristic scores; same first-wins tie handling
-        scores = list(lex.classifiers[rule.clf_name].classify_many(
-            markable, candidates, candidate_set, lex, doc))
-    best = None
-    max_score = None
-    for candidate, score in zip(candidates, scores):
-        if max_score is None or score > max_score:
-            max_score = score
-            best = candidate
-    if max_score < rule.thresh and not heuristic:
+        candidates = list(candidate_set)
+        scores = lex.classifiers[rule.clf_name].classify_many(
+            markable, candidates, candidate_set, lex, doc)
+        for candidate, score in zip(candidates, scores):
+            if max_score is None or score > max_score:
+                max_score = score
+                best = candidate
+    if not heuristic and max_score < rule.thresh:
         # below-threshold classifier verdict means "no antecedent"; the
         # heuristic path always selects from a non-empty set (reference
         # xrenner_compatible.py:648-652)

@@ -450,8 +450,10 @@ def load_lex(model_dir: Optional[str] = None,
     # --- portable classifiers (xrenner_lex.py:526-563) -----------------
     if f["use_classifiers"]:
         from .kernel.classify import load_model_classifiers
-        lex.classifiers = load_model_classifiers(
-            model_dir, lex.speaker_rules + lex.non_speaker_rules, f)
+        all_rules = lex.speaker_rules + lex.non_speaker_rules
+        lex.classifiers = load_model_classifiers(model_dir, all_rules, f)
+        for rule in all_rules:
+            rule.use_clf = rule.clf_name != "_default_"
 
     # --- depedit pre-rewriting (xrenner_xrenner.py:39-43) --------------
     if have("depedit.ini"):

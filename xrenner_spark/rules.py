@@ -46,6 +46,10 @@ class CorefRule:
         self.propagation = parts[3]
         self.clf_name = parts[4] if len(parts) > 4 else "_default_"
         self.thresh = float(parts[5]) if len(parts) == 6 else thresh
+        # resolved at model load: True iff this rule names a classifier
+        # AND the model enables use_classifiers (precomputed so the
+        # per-anaphor hot path needn't consult the filter dict)
+        self.use_clf = False
         self.ana_constraints = [Constraint(c) for c in self.ana_spec.split("&")]
         self.ante_constraints = [Constraint(c) for c in self.ante_spec.split("&")]
         # evaluate group-blacklisting constraints first so their side
