@@ -255,3 +255,22 @@ def test_missing_classifier_fails_loudly(tmp_path):
     os.remove(os.path.join(dst, "demo.pkl.json"))
     with pytest.raises(IOError, match="demo.pkl"):
         load_lex(dst)
+
+
+def test_classifier_lex_broadcasts_to_executors(spark, tmp_path):
+    """A classifier-enabled LexModel must survive pickling into a Spark
+    broadcast and score identically on executors (the distributed kernel
+    path ships the model exactly this way)."""
+    lex = load_lex(make_clf_model(tmp_path))
+    bcast = spark.sparkContext.broadcast(lex)
+
+    def run(pair):
+        from xrenner_spark.kernel import analyze_document
+        name, doc = pair
+        res = analyze_document(name, doc, bcast.value)
+        he = [m for m in res.mentions if m["text"] == "He"][0]
+        return (he["antecedent"], he["matching_rule"])
+
+    out = set(spark.sparkContext.parallelize(
+        [("clf_demo_%d" % i, DOC) for i in range(8)], 4).map(run).collect())
+    assert out == {("4_5", "7")}

@@ -145,3 +145,20 @@ def test_disambiguation_prefers_sequencer_among_alternatives(seq_model):
 def test_no_seq_switch_disables_everything(seq_model):
     assert ents(seq_model, "gadget", no_seq=True) == [("The gadget", "abstract")]
     assert ents(seq_model, "zorblax", no_seq=True) == [("The zorblax", "abstract")]
+
+
+def test_sequencer_lex_broadcasts_to_executors(spark, seq_model):
+    """A sequencer-enabled LexModel must survive pickling into a Spark
+    broadcast and tag identically on executors."""
+    lex = load_lex(seq_model)
+    bcast = spark.sparkContext.broadcast(lex)
+
+    def run(pair):
+        from xrenner_spark.kernel import analyze_document
+        name, doc = pair
+        res = analyze_document(name, doc, bcast.value)
+        return tuple((m["text"], m["entity"]) for m in res.mentions)
+
+    out = set(spark.sparkContext.parallelize(
+        [("d_%d" % i, SENT["zorblax"]) for i in range(8)], 4).map(run).collect())
+    assert out == {(("The zorblax", "animal"),)}
