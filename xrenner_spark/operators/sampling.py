@@ -221,3 +221,64 @@ def pack_sequences_sql() -> str:
 
 
 QUERIES["pack_sequences"] = (pack_sequences, pack_sequences_sql())
+
+
+# ---------------------------------------------------------------------
+# composed cleanse funnel
+# ---------------------------------------------------------------------
+
+MIN_CHARS = 200  # cleanse: minimum document length
+
+
+def corpus_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pretraining cleanse as ONE composed funnel —
+    language filter -> length gate -> exact dedup (keep the smallest
+    doc_id per md5 fingerprint) -> per-domain cap — reporting survivors
+    per stage.  Every stage is the production-shaped op (pushdown-able
+    filters, one groupBy for dedup, the capped window for quota), and
+    the counts are tiny aggregates; this query exists to pin the
+    COMPOSITION: operators chain without materialization barriers, and
+    the funnel's row counts are oracle-checked end-to-end."""
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    s1 = docs.filter(F.col("lang") == "en")
+    s2 = s1.filter(F.col("n_chars") >= MIN_CHARS)
+    keeper = (s2.groupBy(F.md5("text").alias("fp"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    s3 = s2.join(keeper.select("doc_id"), "doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    s4 = (s3.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= DOMAIN_CAP))
+    counts = [
+        docs.select(F.lit("0_total").alias("stage"), "doc_id"),
+        s1.select(F.lit("1_lang_en").alias("stage"), "doc_id"),
+        s2.select(F.lit("2_min_len").alias("stage"), "doc_id"),
+        s3.select(F.lit("3_dedup").alias("stage"), "doc_id"),
+        s4.select(F.lit("4_domain_cap").alias("stage"), "doc_id"),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out.groupBy("stage").agg(F.count("*").alias("n_docs"))
+
+
+def corpus_cleanse_sql() -> str:
+    return """
+    WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),
+    s2 AS (SELECT * FROM s1 WHERE n_chars >= {min_chars}),
+    keeper AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+    s3 AS (SELECT s2.* FROM s2 JOIN keeper USING (doc_id)),
+    s4 AS (SELECT * FROM (
+               SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+               FROM s3) WHERE rn <= {cap})
+    SELECT stage, count(*) AS n_docs FROM (
+        SELECT '0_total' AS stage, doc_id FROM documents
+        UNION ALL SELECT '1_lang_en', doc_id FROM s1
+        UNION ALL SELECT '2_min_len', doc_id FROM s2
+        UNION ALL SELECT '3_dedup', doc_id FROM s3
+        UNION ALL SELECT '4_domain_cap', doc_id FROM s4
+    ) GROUP BY stage
+    """.format(min_chars=MIN_CHARS, cap=DOMAIN_CAP)
+
+
+QUERIES["corpus_cleanse"] = (corpus_cleanse, corpus_cleanse_sql())
