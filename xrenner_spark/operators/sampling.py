@@ -234,31 +234,41 @@ def corpus_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard pretraining cleanse as ONE composed funnel —
     language filter -> length gate -> exact dedup (keep the smallest
     doc_id per md5 fingerprint) -> per-domain cap — reporting survivors
-    per stage.  Every stage is the production-shaped op (pushdown-able
-    filters, one groupBy for dedup, the capped window for quota), and
-    the counts are tiny aggregates; this query exists to pin the
-    COMPOSITION: operators chain without materialization barriers, and
-    the funnel's row counts are oracle-checked end-to-end."""
+    per stage.
+
+    Computed as a SINGLE-PASS flag pipeline rather than five chained
+    sub-queries (which would scan the table five times for the five
+    counts): each stage is a boolean column, dedup keepership is "my
+    doc_id equals the min doc_id of stage-2 rows in my fingerprint
+    partition" (one window), the domain cap is a running count of
+    stage-3 survivors per source (one window), and the funnel is one
+    conditional aggregation of the flags.  One scan, two bounded
+    windows, one tiny agg — the DuckDB oracle recomputes it as the
+    readable five-CTE chain, an independent path."""
     docs = spark.read.parquet(sf_dir + "/documents.parquet")
-    s1 = docs.filter(F.col("lang") == "en")
-    s2 = s1.filter(F.col("n_chars") >= MIN_CHARS)
-    keeper = (s2.groupBy(F.md5("text").alias("fp"))
-              .agg(F.min("doc_id").alias("doc_id")))
-    s3 = s2.join(keeper.select("doc_id"), "doc_id")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    s4 = (s3.withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= DOMAIN_CAP))
-    counts = [
-        docs.select(F.lit("0_total").alias("stage"), "doc_id"),
-        s1.select(F.lit("1_lang_en").alias("stage"), "doc_id"),
-        s2.select(F.lit("2_min_len").alias("stage"), "doc_id"),
-        s3.select(F.lit("3_dedup").alias("stage"), "doc_id"),
-        s4.select(F.lit("4_domain_cap").alias("stage"), "doc_id"),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out.groupBy("stage").agg(F.count("*").alias("n_docs"))
+    f1 = F.col("lang") == "en"
+    f2 = f1 & (F.col("n_chars") >= MIN_CHARS)
+    flagged = docs.select(
+        "doc_id", "source", f1.alias("f1"), f2.alias("f2"),
+        F.md5("text").alias("fp"))
+    w_fp = Window.partitionBy("fp")
+    keeper_id = F.min(F.when(F.col("f2"), F.col("doc_id"))).over(w_fp)
+    flagged = flagged.withColumn(
+        "f3", F.col("f2") & (F.col("doc_id") == keeper_id))
+    w_src = (Window.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    kept_so_far = F.sum(F.when(F.col("f3"), 1).otherwise(0)).over(w_src)
+    flagged = flagged.withColumn(
+        "f4", F.col("f3") & (kept_so_far <= DOMAIN_CAP))
+    agg = flagged.agg(
+        F.count("*").alias("0_total"),
+        F.sum(F.col("f1").cast("long")).alias("1_lang_en"),
+        F.sum(F.col("f2").cast("long")).alias("2_min_len"),
+        F.sum(F.col("f3").cast("long")).alias("3_dedup"),
+        F.sum(F.col("f4").cast("long")).alias("4_domain_cap"))
+    stack = ", ".join("'%s', `%s`" % (c, c) for c in agg.columns)
+    return agg.select(F.expr(
+        "stack(%d, %s) as (stage, n_docs)" % (len(agg.columns), stack)))
 
 
 def corpus_cleanse_sql() -> str:
