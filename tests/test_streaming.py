@@ -151,3 +151,33 @@ def test_streaming_dedup_state_expiry(spark, tmp_path):
     fresh = {u: c for u, c in counts.items() if u not in old}      # 10-14, 20-24
     assert len(old) == 5 and all(c == 2 for c in old.values()), counts
     assert len(fresh) == 10 and all(c == 1 for c in fresh.values()), counts
+
+
+def test_streaming_domain_cap_across_batches(spark, tmp_path):
+    """Per-domain quota holds across micro-batches: once a domain hits
+    the cap in earlier batches, later arrivals are dropped."""
+    from xrenner_spark.streaming import read_pages_stream, streaming_domain_cap
+
+    source = str(tmp_path / "cap_stream")
+    out = str(tmp_path / "cap_out")
+    _drop_pages(spark, source, 0, 8)     # batch 1: 8 docs
+    _drop_pages(spark, source, 8, 20)    # batch 2: 12 more
+
+    stream = read_pages_stream(spark, source, max_files_per_trigger=1)
+    q = (streaming_domain_cap(stream, cap=5).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) > 0
+    by_domain = {}
+    for r in rows:
+        by_domain.setdefault(r.domain, []).append(r.kept_rank)
+    for domain, ranks in by_domain.items():
+        # never exceeds the cap, ranks are exactly 1..n with no gaps
+        assert len(ranks) <= 5
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # at least one domain actually hit the cap (20 docs over few hosts)
+    assert any(len(v) == 5 for v in by_domain.values())

@@ -166,3 +166,52 @@ def mention_rate_stream(kernel_out: DataFrame, window: str = "1 hour",
                  .alias("mentions"),
                  F.sum(F.when(F.col("error") != "", 1).otherwise(0))
                  .alias("errors")))
+
+
+def streaming_domain_cap(pages: DataFrame, cap: int = 10) -> DataFrame:
+    """Cross-batch per-domain quota as a custom stateful operator
+    (applyInPandasWithState, keyed by the url's host): the first ``cap``
+    pages ever seen for a domain pass through — within one micro-batch
+    AND across batches — everything later is dropped.  This is the
+    streaming twin of the batch ``doc_domain_cap`` quota (which cannot
+    see across micro-batches).
+
+    State policy: one int64 per domain — state is intrinsically bounded
+    by the domain universe (unlike dedup's per-content-hash state), and
+    a domain at its cap never grows its entry, so no TTL is needed;
+    at web scale (10^8 domains x 16 bytes) this still fits a RocksDB
+    state store comfortably.  Within a batch, rows are admitted in
+    (warc_ts, url) order so replays admit identically."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("domain", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("kept_rank", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("kept", T.LongType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def cap_group(key, pdf_iter, state):
+        kept = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdf_iter:
+            if kept >= cap or len(pdf) == 0:
+                continue
+            take = pdf.sort_values(["warc_ts", "url"]).iloc[: cap - kept]
+            take = take[["url", "warc_ts"]].copy()
+            take.insert(0, "domain", key[0])
+            take["kept_rank"] = range(kept + 1, kept + 1 + len(take))
+            kept += len(take)
+            out.append(take)
+        state.update((kept,))
+        yield pd.concat(out) if out else pd.DataFrame(columns=cols)
+
+    domain = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    return (pages
+            .select(domain.alias("domain"), "url", "warc_ts")
+            .groupBy("domain")
+            .applyInPandasWithState(cap_group, out_schema, state_schema,
+                                    "append", "NoTimeout"))
