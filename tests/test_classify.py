@@ -274,3 +274,19 @@ def test_classifier_lex_broadcasts_to_executors(spark, tmp_path):
     out = set(spark.sparkContext.parallelize(
         [("clf_demo_%d" % i, DOC) for i in range(8)], 4).map(run).collect())
     assert out == {("4_5", "7")}
+
+
+def test_runtime_scorer_matches_compiled(spark):
+    """score_with_runtime (Arrow-batched numpy, the large-model path)
+    must equal the compiled-SQL path bitwise on grid models."""
+    from pyspark.sql import functions as F
+    sf_dir = "/root/testdata/sf0.001"
+    feats = ml_score._features(spark, sf_dir)
+    for spec in (ml_score.DEMO_LINEAR, ml_score.DEMO_GBT):
+        sql = ml_score.compile_raw_sql(spec, ml_score._COLS)
+        compiled = {r.vec_id: r.s for r in
+                    feats.select("vec_id", F.expr(sql).cast("long").alias("s"))
+                    .collect()}
+        runtime = {r.vec_id: r.score_x1024 for r in
+                   ml_score.score_with_runtime(feats, spec).collect()}
+        assert runtime == compiled

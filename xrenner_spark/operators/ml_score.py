@@ -32,6 +32,17 @@ noise; scripts/export_sklearn_model.py does this on request).
 The random_forest / mlp estimator types stay runtime-only: their
 per-tree probability averaging / matmuls have no exact fixed-point SQL
 form; score those via kernel/classify.py (mapInPandas) when needed.
+
+Model-size boundary (measured, sf0.01 local[8], depth-5 trees): the
+compiled-CASE path is the right tool up to ~200 trees — SQL text grows
+~1.2 KB/tree, plan compile is instant, and the one-time whole-stage
+codegen cost is 2 s at 10 trees / 12 s at 200, after which scoring runs
+warm at scan speed (0.5-1.6 s here).  At 500 trees Catalyst analysis /
+janino effectively hang (>10 min) — beyond the boundary use
+``score_with_runtime``: the same portable model evaluated by the numpy
+runtime inside Arrow-batched ``mapInPandas``.  It is Python-bound but
+model-size-indifferent, and bitwise-identical to the compiled path on
+grid models (tested).
 """
 
 from __future__ import annotations
@@ -212,3 +223,32 @@ QUERIES = {
     "clf_score_linear": (clf_score_linear, clf_score_linear_sql()),
     "clf_score_gbt": (clf_score_gbt, clf_score_gbt_sql()),
 }
+
+
+def score_with_runtime(df: DataFrame, spec: dict, cols=None,
+                       out_col: str = "score_x1024") -> DataFrame:
+    """Large-model path: evaluate a portable classifier with the numpy
+    runtime inside Arrow-batched mapInPandas (see the model-size
+    boundary note in the module docstring).  Emits the same
+    SCALE-scaled integer raw score as the compiled path for linear/GBT
+    grid models; for random_forest/mlp the scaled score is
+    probability*SCALE rounded."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..kernel.classify import PortableClassifier
+
+    cols = list(cols or _COLS)
+    passthrough = [f for f in df.schema.fields if f.name not in cols]
+    schema = T.StructType(passthrough + [T.StructField(out_col, T.LongType())])
+
+    def run(pdf_iter):
+        clf = PortableClassifier(spec)  # per-worker; spec rides the closure
+        for pdf in pdf_iter:
+            X = pdf[cols].to_numpy(dtype="float64")
+            raw = clf.decision_raw(X) * SCALE
+            out = pdf[[f.name for f in passthrough]].copy()
+            out[out_col] = pd.Series(raw).round().astype("int64").values
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
