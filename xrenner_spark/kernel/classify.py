@@ -68,19 +68,24 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
     return np.exp(z) / (1.0 + np.exp(z))
 
 
-def _tree_leaf_index(tree: dict, row: np.ndarray) -> int:
-    """Walk one sklearn-style tree: go left when x[feature] <= threshold."""
-    feature = tree["feature"]
-    threshold = tree["threshold"]
-    left = tree["left"]
-    right = tree["right"]
-    node = 0
-    while left[node] != -1:
-        if row[feature[node]] <= threshold[node]:
-            node = left[node]
-        else:
-            node = right[node]
-    return node
+def _tree_leaf_indices(tree: dict, matrix: np.ndarray) -> np.ndarray:
+    """Leaf node index per row for one sklearn-style tree (go left when
+    x[feature] <= threshold), traversed level-synchronously over the
+    whole matrix: the loop runs tree-depth times regardless of row
+    count, so table-scale scoring through score_with_runtime stays
+    numpy-bound rather than per-row Python."""
+    feature = np.asarray(tree["feature"], dtype=np.int64)
+    threshold = np.asarray(tree["threshold"], dtype=np.float64)
+    left = np.asarray(tree["left"], dtype=np.int64)
+    right = np.asarray(tree["right"], dtype=np.int64)
+    idx = np.zeros(matrix.shape[0], dtype=np.int64)
+    active = left[idx] != -1
+    while active.any():
+        node = idx[active]
+        go_left = (matrix[active, feature[node]] <= threshold[node])
+        idx[active] = np.where(go_left, left[node], right[node])
+        active = left[idx] != -1
+    return idx
 
 
 class PortableClassifier:
@@ -206,17 +211,19 @@ class PortableClassifier:
             raw = np.full(matrix.shape[0], float(est["init_raw"]))
             lr = float(est["learning_rate"])
             for tree in est["trees"]:
-                values = tree["value"]
-                for i in range(matrix.shape[0]):
-                    raw[i] += lr * values[_tree_leaf_index(tree, matrix[i])][0]
+                values = np.asarray([v[0] for v in tree["value"]],
+                                    dtype=np.float64)
+                raw += lr * values[_tree_leaf_indices(tree, matrix)]
             return raw
         if t == "random_forest":
             total = np.zeros(matrix.shape[0])
             for tree in est["trees"]:
-                values = tree["value"]
-                for i in range(matrix.shape[0]):
-                    counts = values[_tree_leaf_index(tree, matrix[i])]
-                    total[i] += counts[1] / (counts[0] + counts[1])
+                counts = np.asarray(tree["value"], dtype=np.float64)
+                denom = counts[:, 0] + counts[:, 1]
+                # internal nodes carry [0, 0] — only leaves are gathered,
+                # so guard the division rather than warn on them
+                probs = counts[:, 1] / np.where(denom > 0, denom, 1.0)
+                total += probs[_tree_leaf_indices(tree, matrix)]
             return total / len(est["trees"])
         # mlp
         act = matrix
