@@ -131,3 +131,41 @@ def test_pack_sequences_distributed_prefix_equals_global_window(spark):
     bins = sorted({b for (_, _, b, _) in got})
     assert bins == list(range(len(bins)))
     assert all(0 <= off < PACK_BUDGET for (_, _, _, off) in got)
+
+
+def test_kmeans_lloyd_matches_numpy():
+    """Third independent path: pure-numpy Lloyd with the same seed,
+    quantization, rounding and tie rules must reproduce the Spark
+    assignment exactly (the DuckDB oracle is the second path)."""
+    import numpy as np
+    from xrenner_spark.operators.clustering import (ITERS, K_CLUSTERS,
+                                                    kmeans_lloyd)
+    from xrenner_spark.session import get_spark
+    spark = get_spark("pytest", cores=4, shuffle_partitions=8)
+    rows = sorted(spark.read.parquet(SF + "/embeddings.parquet")
+                  .select("vec_id", "embedding").collect(),
+                  key=lambda r: r.vec_id)
+    Q = np.array([[round(float(x) * 1000) for x in r.embedding]
+                  for r in rows], dtype=np.int64)
+    ids = np.array([r.vec_id for r in rows])
+    cents = Q[ids < K_CLUSTERS].astype(np.int64)
+
+    def assign(cents):
+        d = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin ties -> lowest index
+
+    for _ in range(ITERS):
+        a = assign(cents)
+        new = cents.copy()
+        for c in range(K_CLUSTERS):
+            members = Q[a == c]
+            if len(members):
+                avg = members.sum(axis=0) / len(members)
+                new[c] = np.where(avg >= 0, np.floor(avg + 0.5),
+                                  -np.floor(-avg + 0.5)).astype(np.int64)
+        cents = new
+    want = dict(zip(ids.tolist(), assign(cents).tolist()))
+
+    got = {r.vec_id: r.cluster for r in kmeans_lloyd(spark, SF).collect()}
+    assert got == want
+    assert len(set(got.values())) > 1  # actually clusters

@@ -9,12 +9,12 @@ order-insensitive value-hash comparison holds bit-for-bit.
 """
 
 from . import (dedup, similarity, textstats, multimodal, ml_score,  # noqa: F401
-               sampling)
+               sampling, clustering)
 
 
 def all_queries():
     out = {}
     for module in (dedup, similarity, textstats, multimodal, ml_score,
-                   sampling):
+                   sampling, clustering):
         out.update(module.QUERIES)
     return out

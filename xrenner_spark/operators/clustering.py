@@ -1,0 +1,149 @@
+"""Distributed k-means (Lloyd) over the quantized embeddings.
+
+The IVF-flat index (similarity.ann_ivf_topk) broadcasts a centroid
+bank; this module supplies the TRAINING side as a Spark-native
+iterative job, fully deterministic and oracle-checkable:
+
+* all geometry runs in the exact int64 milli-quantized domain the
+  similarity oracles already validate (distances are exact integers;
+  ties break to the lowest centroid id);
+* each Lloyd update re-quantizes the new centroids —
+  ``CAST(round(avg(dim)) AS BIGINT)`` — so the only floating step is
+  one avg+round per dimension, which Spark and DuckDB evaluate
+  identically (integer sums are exact; same IEEE division; both round
+  half away from zero — the recipe every quantized oracle here uses);
+* empty clusters keep their previous centroid (both engines).
+
+Scale shape per iteration: assignment is a pure map against a
+broadcast-literal centroid bank (K x DIM ints folded into ONE constant
+expression — the similarity._all_buckets_expr lesson: per-element
+literals cost thousands of py4j round trips and janino seconds);
+the update is posexplode -> groupBy(cluster, dim) with map-side partial
+aggregation, so the shuffle carries ~K*DIM rows per partition, not the
+data.  Centroids (K*DIM ints, model state) are collected to the driver
+between iterations — AQE-statistics-scale, like every Lloyd
+implementation; the DATA never leaves executors and lineage resets
+through the literal bank each round, so no checkpoint dance is needed
+(the dedup_cluster_assign iterative-loop lesson does not bite here).
+
+The DuckDB oracle recomputes all ``ITERS`` iterations as an unrolled
+CTE chain — a fully independent evaluation path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K_CLUSTERS = 8
+ITERS = 3
+EMB_DIM = 64
+
+
+def _assign_expr(cents) -> "F.Column":
+    """cluster = argmin_i sum_d (q[d] - cents[i][d])^2, ties to lowest i.
+    One constant-folded 2-D literal + higher-order-function fold."""
+    bank = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(str(int(c)) for c in row) for row in cents)
+    # struct ordering is lexicographic (distance, then centroid id), so
+    # array_min IS the tie-broken argmin, with each distance computed once
+    return F.expr(
+        "array_min(transform(sequence(0, {K} - 1), i -> named_struct("
+        "  'd', aggregate(zip_with(q, {bank}[i], (x, c) -> (x - c) * (x - c)), "
+        "                 0L, (a, v) -> a + v), "
+        "  'i', i))).i".format(K=len(cents), bank=bank))
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERS Lloyd iterations from the deterministic seed (vectors
+    vec_id < K); returns the final assignment (vec_id, cluster)."""
+    emb = (spark.read.parquet(sf_dir + "/embeddings.parquet")
+           .repartition(spark.sparkContext.defaultParallelism, "vec_id"))
+    qcol = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
+    vecs = emb.select("vec_id", qcol.alias("q")).cache()
+    vecs.count()
+
+    cents = [r.q for r in vecs.filter(F.col("vec_id") < K_CLUSTERS)
+             .orderBy("vec_id").collect()]
+
+    for _ in range(ITERS):
+        assigned = vecs.withColumn("cluster", _assign_expr(cents))
+        sums = (assigned
+                .select("cluster", F.posexplode("q").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n")))
+        rows = sums.collect()  # K*DIM tiny model-state rows
+        new_cents = [list(c) for c in cents]  # empty cluster keeps old
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = (r.s, r.n)
+        for ci, dims in by_cluster.items():
+            for d, (s, n) in dims.items():
+                avg = s / n
+                # round half away from zero, matching Spark/DuckDB round()
+                new_cents[ci][d] = int(avg + 0.5) if avg >= 0 \
+                    else -int(-avg + 0.5)
+        cents = new_cents
+
+    out = vecs.withColumn("cluster", _assign_expr(cents)) \
+        .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+    vecs.unpersist()
+    return out
+
+
+def _kmeans_sql() -> str:
+    parts = ["""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS ci, q AS cv FROM q WHERE vec_id < {K})
+    """.format(K=K_CLUSTERS)]
+    prev = "c0"
+    for it in range(1, ITERS + 1):
+        parts.append("""
+    , d{it} AS (
+        SELECT q.vec_id, c.ci,
+               list_sum(list_transform(list_zip(q.q, c.cv),
+                        t -> (t[1]-t[2])*(t[1]-t[2]))) AS d
+        FROM q CROSS JOIN {prev} c
+    ),
+    a{it} AS (
+        SELECT vec_id, ci AS cluster FROM (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+            FROM d{it}) WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT a.cluster AS ci, e.pos, CAST(round(avg(e.val)) AS BIGINT) AS c
+        FROM a{it} a JOIN (
+            SELECT vec_id, unnest(q) AS val,
+                   generate_subscripts(q, 1) AS pos FROM q) e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    n{it} AS (SELECT ci, list(c ORDER BY pos) AS cv FROM m{it} GROUP BY ci),
+    c{it} AS (
+        SELECT p.ci, COALESCE(n.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN n{it} n USING (ci)
+    )
+        """.format(it=it, prev=prev))
+        prev = "c%d" % it
+    parts.append("""
+    , df AS (
+        SELECT q.vec_id, c.ci,
+               list_sum(list_transform(list_zip(q.q, c.cv),
+                        t -> (t[1]-t[2])*(t[1]-t[2]))) AS d
+        FROM q CROSS JOIN {prev} c
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+        SELECT vec_id, ci AS cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+        FROM df) WHERE rn = 1
+    """.format(prev=prev))
+    return "".join(parts)
+
+
+QUERIES = {
+    "kmeans_lloyd": (kmeans_lloyd, _kmeans_sql()),
+}
