@@ -147,6 +147,28 @@ def kg_child_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return child_info_sql(spark.read.parquet(base + "/tokens1k.parquet"))
 
 
+def kg_model_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer-statistics builders (operators/model_stats.py): the
+    kernel's own output aggregated back into fresh model tables."""
+    from xrenner_spark.operators.model_stats import model_freqs
+    base = _ensure_kg_exports(spark, sf_dir)
+    return model_freqs(spark.read.parquet(base + "/tokens1k.parquet"))
+
+
+def kg_model_entity_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrenner_spark.operators.model_stats import model_entity_deps
+    base = _ensure_kg_exports(spark, sf_dir)
+    return model_entity_deps(spark.read.parquet(base + "/mentions.parquet"),
+                             spark.read.parquet(base + "/tokens1k.parquet"))
+
+
+def kg_model_hasa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrenner_spark.operators.model_stats import model_hasa
+    base = _ensure_kg_exports(spark, sf_dir)
+    return model_hasa(spark.read.parquet(base + "/mentions.parquet"),
+                      spark.read.parquet(base + "/tokens1k.parquet"))
+
+
 def kg_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-tree transitive closure by iterative self-join (SURVEY §2.7),
     vs a WITH RECURSIVE DuckDB twin over the same exported edges."""
@@ -209,6 +231,10 @@ def _catalog():
     cat["kg_tokens"] = (kg_tokens, kg_oracle.kg_tokens_sql())
     cat["kg_child_info"] = (kg_child_info, kg_oracle.kg_child_info_sql())
     cat["kg_descendants"] = (kg_descendants, kg_oracle.kg_descendants_sql())
+    cat["kg_model_freqs"] = (kg_model_freqs, kg_oracle.kg_model_freqs_sql())
+    cat["kg_model_entity_deps"] = (kg_model_entity_deps,
+                                   kg_oracle.kg_model_entity_deps_sql())
+    cat["kg_model_hasa"] = (kg_model_hasa, kg_oracle.kg_model_hasa_sql())
     return cat
 
 

@@ -207,3 +207,33 @@ def kg_descendants_sql() -> str:
     )
     SELECT url, ancestor, descendant FROM closure
     """.format(tokens=_pq("tokens200"))
+
+
+def kg_model_freqs_sql() -> str:
+    return """
+    SELECT lemma, count(*) AS freq
+    FROM {tokens}
+    GROUP BY lemma HAVING count(*) >= 2
+    """.format(tokens=_pq("tokens1k"))
+
+
+def kg_model_entity_deps_sql() -> str:
+    return """
+    SELECT p.lemma AS parent_lemma, m.head_func AS func, m.entity,
+           count(*) AS freq
+    FROM {mentions} m
+    JOIN {tokens} p ON m.url = p.url AND m.head_parent = p.tid
+    WHERE m.head_parent > 0
+    GROUP BY 1, 2, 3
+    """.format(mentions=_pq("mentions"), tokens=_pq("tokens1k"))
+
+
+def kg_model_hasa_sql() -> str:
+    return """
+    SELECT h.text AS possessor, p.text AS possessed, count(*) AS freq
+    FROM {mentions} m
+    JOIN {tokens} h ON m.url = h.url AND m.head_id = h.tid
+    JOIN {tokens} p ON m.url = p.url AND m.head_parent = p.tid
+    WHERE regexp_matches(m.head_func, '^nmod:poss$') AND m.head_parent > 0
+    GROUP BY 1, 2
+    """.format(mentions=_pq("mentions"), tokens=_pq("tokens1k"))
