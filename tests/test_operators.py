@@ -169,3 +169,45 @@ def test_kmeans_lloyd_matches_numpy():
     got = {r.vec_id: r.cluster for r in kmeans_lloyd(spark, SF).collect()}
     assert got == want
     assert len(set(got.values())) > 1  # actually clusters
+
+
+def test_model_bootstrap_roundtrip(spark, tmp_path):
+    """Full bootstrap loop: kernel output -> model-table builders ->
+    reference .tab files -> load_lex -> the kernel runs with the
+    regenerated statistics."""
+    import shutil
+    from xrenner_spark.kernel import analyze_document
+    from xrenner_spark.lex import DEFAULT_MODEL_DIR, load_lex
+    from xrenner_spark.operators.model_stats import (model_entity_deps,
+                                                     model_freqs, model_hasa,
+                                                     write_model_tables)
+    from xrenner_spark.pipeline import (fused_extract_kernel_stage,
+                                        generate_pages, mentions_view,
+                                        salt_by_url, tokens_stage)
+    pages = generate_pages(spark, 60, partitions=4)
+    bcast = spark.sparkContext.broadcast(load_lex())
+    kernel_out = fused_extract_kernel_stage(salt_by_url(pages, 4), bcast)
+    kernel_out = kernel_out.persist()
+    kernel_out.count()
+    mentions = mentions_view(kernel_out)
+    tokens = tokens_stage(salt_by_url(pages, 4))
+
+    dst = str(tmp_path / "web_boot")
+    shutil.copytree(DEFAULT_MODEL_DIR, dst)
+    write_model_tables(dst,
+                       freqs=model_freqs(tokens),
+                       entity_deps=model_entity_deps(mentions, tokens),
+                       hasa=model_hasa(mentions, tokens))
+    kernel_out.unpersist()
+
+    lex = load_lex(dst)
+    assert len(lex.freqs) > 10
+    assert lex.entity_deps            # nested dict populated
+    assert lex.hasa                   # possessor pairs found in corpus
+    # regenerated model still analyzes documents end-to-end
+    doc = ("1\tThe\tthe\tDET\tDET\t_\t2\tdet\t_\t_\n"
+           "2\tcompany\tcompany\tNOUN\tNOUN\t_\t3\tnsubj\t_\t_\n"
+           "3\twon\twin\tVERB\tVERB\t_\t0\troot\t_\t_\n"
+           "4\t.\t.\tPUNCT\tPUNCT\t_\t3\tpunct\t_\t_\n")
+    res = analyze_document("boot", doc, lex)
+    assert [m["text"] for m in res.mentions] == ["The company"]

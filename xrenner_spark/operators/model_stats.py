@@ -59,3 +59,38 @@ def model_hasa(mentions: DataFrame, tokens: DataFrame) -> DataFrame:
             .join(parents, ["url", "head_parent"])
             .groupBy("possessor", "possessed")
             .agg(F.count("*").alias("freq")))
+
+
+def write_model_tables(model_dir: str, freqs: DataFrame = None,
+                       entity_deps: DataFrame = None,
+                       hasa: DataFrame = None) -> None:
+    """Serialize builder output into the reference .tab formats, in
+    place in ``model_dir`` — the final step of the bootstrap loop: the
+    written files are loadable by lex.load_lex and consumed by the
+    kernel's probe cascade on the next run.  Rows sort by descending
+    freq then key so regenerated files are byte-stable.
+
+    Driver-side by design: model tables are broadcast-scale artifacts
+    (the large-lexicon evidence in BENCH/BASELINE.md measured 60k heads
+    = 6.4 MiB), not data-scale — collect() here is the model-publish
+    step, exactly like checkpointing trained centroids."""
+    import io
+    import os
+
+    def dump(df, name, header, key_cols):
+        if df is None:
+            return
+        rows = df.collect()
+        rows.sort(key=lambda r: (-r.freq, tuple(r[c] for c in key_cols)))
+        with io.open(os.path.join(model_dir, name), "w", encoding="utf8",
+                     newline="\n") as fh:
+            fh.write("# " + header + "\n")
+            for r in rows:
+                fh.write("\t".join(str(r[c]) for c in key_cols)
+                         + "\t%d\n" % r.freq)
+
+    dump(freqs, "freqs.tab", "lemma\tcorpus frequency", ["lemma"])
+    dump(entity_deps, "entity_deps.tab", "parent_text\tfunc\tentity\tfreq",
+         ["parent_lemma", "func", "entity"])
+    dump(hasa, "hasa.tab", "possessor\tpossessed\tfreq",
+         ["possessor", "possessed"])
