@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--model", default=None, help="override model directory")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--rule-based", action="store_true",
+                    help="force the heuristic coref path (reference -r)")
+    ap.add_argument("--noseq", action="store_true",
+                    help="disable any configured sequence tagger")
+    ap.add_argument("--override", default=None,
+                    help="override.ini section (reference -x)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("xrenner-spark-kg").getOrCreate()
@@ -53,7 +59,9 @@ def main():
 
     triples = run_pipeline(spark, pages, args.warehouse,
                            partitions=args.partitions, lex_dir=args.model,
-                           resume=not args.no_resume)
+                           resume=not args.no_resume,
+                           rule_based=args.rule_based, no_seq=args.noseq,
+                           override=args.override)
     print("triples:", triples.count())
 
 

@@ -753,7 +753,9 @@ def triples_from_views(mentions: DataFrame, verbs: DataFrame,
 
 def run_pipeline(spark: SparkSession, pages: DataFrame, warehouse: str,
                  partitions: int = None, lex_dir: Optional[str] = None,
-                 resume: bool = True) -> DataFrame:
+                 resume: bool = True, rule_based: bool = False,
+                 no_seq: bool = False,
+                 override: Optional[str] = None) -> DataFrame:
     """Full run: returns the triples DataFrame (already persisted).
 
     With ``resume=True``, stages whose checkpoint tables exist in the
@@ -775,7 +777,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, warehouse: str,
     if resume and cat.exists("stage_kernel"):
         kernel_out = cat.read("stage_kernel")
     else:
-        lex = load_lex(lex_dir)
+        lex = load_lex(lex_dir, rule_based=rule_based,
+                       no_seq=no_seq, override=override)
         bcast = spark.sparkContext.broadcast(lex)
         kernel_out = kernel_stage(extracted, bcast)
         cat.write(kernel_out, "stage_kernel")
