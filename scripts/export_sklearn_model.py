@@ -40,10 +40,19 @@ def _snap(x, snap):
 
 
 def tree_to_json(tree, snap=False, scale_leaves=1.0):
+    import math
     t = tree.tree_
+    if snap:
+        # SQL compilation needs integer thresholds; over int-quantized
+        # features `x <= t` == `x <= floor(t)`, so flooring is lossless
+        # (sklearn splits on integer features sit at x.5)
+        thresholds = [float(math.floor(x)) if x > -2 else float(x)
+                      for x in t.threshold]
+    else:
+        thresholds = [float(x) for x in t.threshold]
     return {
         "feature": [int(f) for f in t.feature],
-        "threshold": [float(x) for x in t.threshold],
+        "threshold": thresholds,
         "left": [int(x) for x in t.children_left],
         "right": [int(x) for x in t.children_right],
         "value": [[_snap(scale_leaves * v, snap) for v in row[0]]
@@ -68,6 +77,16 @@ def estimator_to_json(cls, snap=False):
             init_raw = float(np.log(p / (1 - p)))
         except AttributeError:
             init_raw = 0.0
+        if snap:
+            # fold the learning rate into the leaves BEFORE snapping, so
+            # lr*leaf sits on the grid compile_gbt_sql checks (snapping
+            # the raw leaf with lr != 1 would land off-grid)
+            return {"type": "gradient_boosting",
+                    "learning_rate": 1.0,
+                    "init_raw": _snap(init_raw, snap),
+                    "trees": [tree_to_json(t[0], snap,
+                                           scale_leaves=float(cls.learning_rate))
+                              for t in cls.estimators_]}
         return {"type": "gradient_boosting",
                 "learning_rate": float(cls.learning_rate),
                 "init_raw": _snap(init_raw, snap),

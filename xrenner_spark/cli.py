@@ -34,25 +34,6 @@ _EXT = {"sgml": "sgml", "conll": "conll", "conll_sent": "conll",
         "paula": None}
 
 
-def serialize(result, docname: str, fmt: str, parse: str, model: str):
-    if fmt == "sgml":
-        return out_mod.output_sgml(result)
-    if fmt == "conll":
-        return out_mod.output_conll(result, docname)
-    if fmt == "conll_sent":
-        return out_mod.output_conll_sent(result, docname)
-    if fmt == "onto":
-        return out_mod.output_onto(result, docname)
-    if fmt == "html":
-        return out_mod.output_html(result)
-    if fmt == "webanno":
-        return out_mod.output_webanno(result)
-    if fmt == "webannotsv":
-        return out_mod.output_webannotsv(result)
-    if fmt == "unittest":
-        return out_mod.output_testcase(result, parse, model=model,
-                                       name=docname)
-    return None
 
 
 def process_file(path: str, lex, fmt: str, model_name: str):
@@ -67,10 +48,8 @@ def process_file(path: str, lex, fmt: str, model_name: str):
             docname = docname[: -len(ext)]
             break
     result = analyze_document(docname, parse, lex)
-    if fmt == "paula":
-        payload = out_mod.output_paula(result, docname)
-    else:
-        payload = serialize(result, docname, fmt, parse, model_name)
+    payload = out_mod.serialize_result(result, docname, fmt, parse=parse,
+                                       model=model_name)
     return (docname, payload, list(result.dump_rows),
             list(result.dump_headers), result.n_tokens, result.n_sentences)
 
@@ -161,12 +140,20 @@ def main(argv=None):
         results = [process_file(p, lex, opts.format, opts.model)
                    for p in files]
 
+    seen = set()
     for docname, payload, rows, headers, n_toks, n_sents in results:
         _emit(docname, opts.format, payload, single)
         total_toks += n_toks
         total_sents += n_sents
-        seen = set(dump_rows)
-        dump_rows.extend(r for r in rows if r not in seen)
+        for row in rows:
+            # cross-document dedup keys on the feature outline WITHOUT
+            # the trailing rule_num, like the reference's process-global
+            # lex.dump_types (xrenner_compatible.py:612-616: the outline
+            # is deduplicated before rule_num is appended)
+            outline = row.rsplit("\t", 1)[0]
+            if outline not in seen:
+                seen.add(outline)
+                dump_rows.append(row)
         if not dump_headers:
             dump_headers = headers
 

@@ -56,17 +56,22 @@ def _assign_expr(cents) -> "F.Column":
 
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITERS Lloyd iterations from the deterministic seed (vectors
-    vec_id < K); returns the final assignment (vec_id, cluster)."""
+    vec_id < K); returns the final assignment (vec_id, cluster), with
+    cluster labels = the SEED vec_id (not list position), so the labels
+    match the DuckDB twin even if some seed ids are absent from the
+    table (then the algorithm honestly runs with fewer clusters)."""
     emb = (spark.read.parquet(sf_dir + "/embeddings.parquet")
            .repartition(spark.sparkContext.defaultParallelism, "vec_id"))
     qcol = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
     vecs = emb.select("vec_id", qcol.alias("q")).cache()
     vecs.count()
 
-    cents = [r.q for r in vecs.filter(F.col("vec_id") < K_CLUSTERS)
-             .orderBy("vec_id").collect()]
-
+    seeds = vecs.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    seed_ids = [int(r.vec_id) for r in seeds]
+    cents = [r.q for r in seeds]
     for _ in range(ITERS):
+        # positional index is fine INSIDE the loop (cents is positional);
+        # only the returned labels translate to seed ids
         assigned = vecs.withColumn("cluster", _assign_expr(cents))
         sums = (assigned
                 .select("cluster", F.posexplode("q").alias("dim", "val"))
@@ -85,9 +90,13 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else -int(-avg + 0.5)
         cents = new_cents
 
-    out = vecs.withColumn("cluster", _assign_expr(cents)) \
-        .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
-    vecs.unpersist()
+    seed_bank = F.array(*[F.lit(s).cast("long") for s in seed_ids])
+    out = (vecs.withColumn("i", _assign_expr(cents))
+           .select("vec_id",
+                   F.element_at(seed_bank, F.col("i") + 1).alias("cluster")))
+    # vecs stays cached for the session (same pattern as the kg kernel
+    # cache): unpersisting here would force the returned lazy DataFrame
+    # to recompute the scan+shuffle when the caller finally evaluates it
     return out
 
 

@@ -557,3 +557,32 @@ def output_paula(result, docname: str) -> Dict[str, str]:
         prefix + ".referentSeg_coref.xml": coref_header + rels + "</relList>\n</paula>\n",
         prefix + ".referentSeg_coref_type.xml": coref_type_header + rel_annos + "</featList>\n</paula>\n",
     }
+
+
+def serialize_result(result, docname: str, fmt: str, parse: str = "",
+                     model: str = "web"):
+    """Single dispatch point for every output format (used by both the
+    CLI and the distributed serialize_stage so the mapping cannot
+    drift): returns the payload string, a {filename: payload} dict for
+    PAULA's multi-file standoff, or None for "none"."""
+    if fmt == "sgml":
+        return output_sgml(result)
+    if fmt == "conll":
+        return output_conll(result, docname)
+    if fmt == "conll_sent":
+        return output_conll_sent(result, docname)
+    if fmt == "onto":
+        return output_onto(result, docname)
+    if fmt == "html":
+        return output_html(result)
+    if fmt == "webanno":
+        return output_webanno(result)
+    if fmt == "webannotsv":
+        return output_webannotsv(result)
+    if fmt == "paula":
+        return output_paula(result, docname)
+    if fmt == "unittest":
+        return output_testcase(result, parse, model=model, name=docname)
+    if fmt == "none":
+        return None
+    raise ValueError("unknown serialization format: %r" % fmt)

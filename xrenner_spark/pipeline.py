@@ -556,28 +556,12 @@ def serialize_stage(pages: DataFrame, lex_broadcast,
                     continue
                 docname = rec.url.rsplit("/", 1)[-1]
                 for fmt in formats:
+                    payload = out_mod.serialize_result(result, docname, fmt)
                     if fmt == "paula":
-                        for fn, payload in out_mod.output_paula(
-                                result, docname).items():
-                            rows.append((rec.url, fmt, fn, payload))
-                    elif fmt == "sgml":
-                        rows.append((rec.url, fmt, "", out_mod.output_sgml(result)))
-                    elif fmt == "conll":
-                        rows.append((rec.url, fmt, "",
-                                     out_mod.output_conll(result, docname)))
-                    elif fmt == "conll_sent":
-                        rows.append((rec.url, fmt, "",
-                                     out_mod.output_conll_sent(result, docname)))
-                    elif fmt == "onto":
-                        rows.append((rec.url, fmt, "",
-                                     out_mod.output_onto(result, docname)))
-                    elif fmt == "html":
-                        rows.append((rec.url, fmt, "", out_mod.output_html(result)))
-                    elif fmt == "webanno":
-                        rows.append((rec.url, fmt, "", out_mod.output_webanno(result)))
-                    elif fmt == "webannotsv":
-                        rows.append((rec.url, fmt, "",
-                                     out_mod.output_webannotsv(result)))
+                        for fn, data in payload.items():
+                            rows.append((rec.url, fmt, fn, data))
+                    else:
+                        rows.append((rec.url, fmt, "", payload))
             yield pd.DataFrame(rows, columns=["url", "fmt", "filename", "payload"])
 
     return pages.mapInPandas(run, schema=SERIALIZE_SCHEMA)
@@ -775,6 +759,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, warehouse: str,
         cat.append_lineage("extract", lineage_of(extracted, "extract"))
 
     if resume and cat.exists("stage_kernel"):
+        if rule_based or no_seq or override:
+            import sys
+            sys.stderr.write(
+                "WARNING: stage_kernel checkpoint exists; rule_based/"
+                "no_seq/override have NO effect on resumed output — "
+                "pass resume=False (run_kg --no-resume) to recompute "
+                "under the requested model mode\n")
         kernel_out = cat.read("stage_kernel")
     else:
         lex = load_lex(lex_dir, rule_based=rule_based,

@@ -196,18 +196,22 @@ def streaming_domain_cap(pages: DataFrame, cap: int = 10) -> DataFrame:
 
     def cap_group(key, pdf_iter, state):
         kept = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdf_iter:
-            if kept >= cap or len(pdf) == 0:
-                continue
-            take = pdf.sort_values(["warc_ts", "url"]).iloc[: cap - kept]
-            take = take[["url", "warc_ts"]].copy()
-            take.insert(0, "domain", key[0])
-            take["kept_rank"] = range(kept + 1, kept + 1 + len(take))
-            kept += len(take)
-            out.append(take)
-        state.update((kept,))
-        yield pd.concat(out) if out else pd.DataFrame(columns=cols)
+        # a group larger than one Arrow batch arrives as several chunks:
+        # concatenate BEFORE sorting, or admission would be per-chunk
+        # order-dependent and a replay with different chunk boundaries
+        # could admit a different set
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if kept >= cap or not chunks:
+            state.update((kept,))
+            yield pd.DataFrame(columns=cols)
+            return
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        take = batch.sort_values(["warc_ts", "url"]).iloc[: cap - kept]
+        take = take[["url", "warc_ts"]].copy()
+        take.insert(0, "domain", key[0])
+        take["kept_rank"] = range(kept + 1, kept + 1 + len(take))
+        state.update((kept + len(take),))
+        yield take
 
     domain = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     return (pages
