@@ -290,3 +290,29 @@ def test_runtime_scorer_matches_compiled(spark):
         runtime = {r.vec_id: r.score_x1024 for r in
                    ml_score.score_with_runtime(feats, spec).collect()}
         assert runtime == compiled
+
+
+def test_runtime_scorer_forest_path(spark):
+    """random_forest has no SQL form; score_with_runtime must emit
+    round(prob * SCALE) matching the local runtime."""
+    tree = {"feature": [0, -2, -2], "threshold": [0.0, -2, -2],
+            "left": [1, -1, -1], "right": [2, -1, -1],
+            "value": [[0, 0], [3, 1], [1, 3]]}
+    spec = {"format": "xrenner-portable-classifier-v1",
+            "headers": ml_score._COLS, "encoders": {},
+            "estimator": {"type": "random_forest",
+                          "trees": [tree] * 8 }}
+    # pad tree feature space: tree only reads f0; headers are 8 cols
+    sf_dir = "/root/testdata/sf0.001"
+    feats = ml_score._features(spark, sf_dir)
+    rows = feats.orderBy("vec_id").collect()
+    import numpy as np
+    X = np.array([[r["f%d" % i] for i in range(8)] for r in rows],
+                 dtype=np.float64)
+    want = np.round(PortableClassifier(spec).decision_raw(X)
+                    * ml_score.SCALE).astype(int)
+    got = {r.vec_id: r.score_x1024 for r in
+           ml_score.score_with_runtime(feats, spec).collect()}
+    for r, w in zip(rows, want):
+        assert got[r.vec_id] == w
+    assert set(want.tolist()) == {256, 768}  # 0.25 / 0.75 * SCALE
