@@ -147,6 +147,19 @@ def kg_child_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return child_info_sql(spark.read.parquet(base + "/tokens1k.parquet"))
 
 
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity PageRank over the extracted triple graph (operators/graph.py):
+    exact fixed-point iterations, hash-compared against an unrolled
+    DuckDB CTE chain over the same triples SQL."""
+    from xrenner_spark.operators.graph import entity_pagerank
+    from xrenner_spark.pipeline import triples_from_views
+    base = _ensure_kg_exports(spark, sf_dir)
+    triples = triples_from_views(
+        spark.read.parquet(base + "/mentions.parquet"),
+        spark.read.parquet(base + "/verbs.parquet"))
+    return entity_pagerank(triples)
+
+
 def kg_model_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gazetteer-statistics builders (operators/model_stats.py): the
     kernel's own output aggregated back into fresh model tables."""
@@ -235,6 +248,9 @@ def _catalog():
     cat["kg_model_entity_deps"] = (kg_model_entity_deps,
                                    kg_oracle.kg_model_entity_deps_sql())
     cat["kg_model_hasa"] = (kg_model_hasa, kg_oracle.kg_model_hasa_sql())
+    from xrenner_spark.operators.graph import pagerank_sql
+    cat["kg_pagerank"] = (kg_pagerank,
+                          pagerank_sql(kg_oracle.kg_triples_sql()))
     return cat
 
 

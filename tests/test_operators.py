@@ -211,3 +211,27 @@ def test_model_bootstrap_roundtrip(spark, tmp_path):
            "4\t.\t.\tPUNCT\tPUNCT\t_\t3\tpunct\t_\t_\n")
     res = analyze_document("boot", doc, lex)
     assert [m["text"] for m in res.mentions] == ["The company"]
+
+
+def test_entity_pagerank_matches_hand_computation(spark):
+    """Tiny fixed graph: a->b, a->c, b->c; hand-run the exact integer
+    recurrence for three iterations."""
+    from xrenner_spark.operators.graph import (PR_BASE, PR_DAMP_NUM,
+                                               PR_ITERS, PR_SCALE,
+                                               entity_pagerank)
+    triples = spark.createDataFrame(
+        [("a", "x", "b"), ("a", "x", "c"), ("b", "x", "c")],
+        ["subj", "pred", "obj"])
+    got = {r.entity: r.score_q for r in entity_pagerank(triples).collect()}
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c")]
+    nodes = {"a", "b", "c"}
+    outdeg = {"a": 2, "b": 1}
+    q = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        insum = {n: 0 for n in nodes}
+        for s, o in edges:
+            insum[o] += q[s] // outdeg[s]
+        q = {n: int(round(PR_BASE + PR_DAMP_NUM * insum[n])) for n in nodes}
+    assert got == q
+    assert got["c"] > got["b"] > got["a"]  # sink accumulates rank
