@@ -162,3 +162,49 @@ def test_sequencer_lex_broadcasts_to_executors(spark, seq_model):
     out = set(spark.sparkContext.parallelize(
         [("d_%d" % i, SENT["zorblax"]) for i in range(8)], 4).map(run).collect())
     assert out == {(("The zorblax", "animal"),)}
+
+
+# ---------------------------------------------------------------------
+# committed web_seq model vs committed reference-engine export
+# ---------------------------------------------------------------------
+
+REF_SEQ_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "ref_mentions_seq_500.parquet")
+
+
+def test_web_seq_matches_reference_export():
+    """Mention-exact parity on a 60-doc slice of the committed
+    reference+sequencer export (scripts/make_ref_mentions_seq.py): the
+    shipped models/web_seq variant must reproduce the reference engine
+    running with the identical lexicon tagger attached."""
+    import pyarrow.parquet as pq
+
+    from xrenner_spark.corpus import build_document, build_page
+
+    ref_rows = pq.read_table(REF_SEQ_FIXTURE).to_pylist()
+    by_url = {}
+    for r in ref_rows:
+        by_url.setdefault(r["url"], []).append(r)
+
+    lex = load_lex(os.path.join(os.path.dirname(DEFAULT_MODEL_DIR), "web_seq"))
+    n_divergent_from_stock = 0
+    stock = load_lex()
+    for doc_id in range(60):
+        url = build_page(doc_id)["url"]
+        conllu = build_document(doc_id)["conllu"]
+        res = analyze_document(url, conllu, lex)
+        ours = sorted(
+            (m["start"], m["end"], m["text"], m["entity"], m["agree"],
+             m["form"], m["coref_type"], m["group_id"], m["sent_num"])
+            for m in res.mentions)
+        theirs = sorted(
+            (int(r["mark_id"].split("_")[0]), int(r["mark_id"].split("_")[1]),
+             r["text"], r["entity"], r["agree"], r["form"], r["coref_type"],
+             r["group_id"], r["sent_num"]) for r in by_url.get(url, []))
+        assert ours == theirs, "web_seq parity broke on %s" % url
+        base = analyze_document(url, conllu, stock)
+        if ([(m["text"], m["entity"]) for m in base.mentions]
+                != [(m["text"], m["entity"]) for m in res.mentions]):
+            n_divergent_from_stock += 1
+    # the fixture must actually exercise the sequencer, not mirror stock
+    assert n_divergent_from_stock >= 10

@@ -55,6 +55,23 @@ def kg_mentions_sql() -> str:
             % REF_MENTIONS_FIXTURE)
 
 
+#: committed reference-engine mention export under the sequencer-enabled
+#: models/web_seq variant (scripts/make_ref_mentions_seq.py): the hard
+#: oracle for kg_mentions_seq — the reference ran with this repo's
+#: LexiconSequencer attached through its own predict_proba surface, so
+#: all four sequencer consumption sites are exercised end-to-end
+REF_MENTIONS_SEQ_FIXTURE = os.path.join(
+    os.path.dirname(EXPORT_DIR), "tests", "fixtures",
+    "ref_mentions_seq_500.parquet")
+
+
+def kg_mentions_seq_sql() -> str:
+    """Reference-engine mentions for the same 500 docs under web_seq."""
+    return ("SELECT url, mark_id, text, entity, agree, form, coref_type, "
+            "group_id, sent_num FROM read_parquet('%s')"
+            % REF_MENTIONS_SEQ_FIXTURE)
+
+
 REF_SGML_FIXTURE = os.path.join(
     os.path.dirname(EXPORT_DIR), "tests", "fixtures", "ref_sgml_500.parquet")
 

@@ -219,9 +219,21 @@ def clf_score_gbt_sql() -> str:
     """.format(feats=_FEATURES_SQL, expr=compile_raw_sql(DEMO_GBT, _COLS))
 
 
+def clf_score_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME DEMO_GBT model scored via the large-model runtime path
+    (numpy inside Arrow-batched mapInPandas) instead of the compiled
+    CASE expression — it shares clf_score_gbt's DuckDB oracle, so a
+    green driver row proves the two scoring paths agree bit-for-bit
+    under the external hash, not just under pytest."""
+    feats = _features(spark, sf_dir)
+    scored = score_with_runtime(feats, DEMO_GBT)
+    return scored.filter(F.col("score_x1024") > 0)
+
+
 QUERIES = {
     "clf_score_linear": (clf_score_linear, clf_score_linear_sql()),
     "clf_score_gbt": (clf_score_gbt, clf_score_gbt_sql()),
+    # registered below, after score_with_runtime is defined
 }
 
 
@@ -252,3 +264,6 @@ def score_with_runtime(df: DataFrame, spec: dict, cols=None,
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+QUERIES["clf_score_runtime"] = (clf_score_runtime, clf_score_gbt_sql())

@@ -271,19 +271,130 @@ REL_JOIN_CHAIN_SQL = """
 """
 
 
+# ------------------------------------------------------------------
+# Driver-board consolidation (round 4).  The driver's correctness
+# board evaluates at most 50 catalog entries (round 3 registered 51
+# and the 51st never ran), so the four *simplest* checklist demos are
+# paired into combined queries.  Every original operator still runs —
+# each combined query UNIONs or contains the exact original subplans —
+# and the standalone functions above remain for tests/bench.
+# ------------------------------------------------------------------
+
+
+# 4+5. semi join + anti join, one board row: both original subplans
+# verbatim, unioned with a side marker and aligned (key, name) schema.
+def rel_semi_anti_join(spark, sf_dir):
+    anti = (rel_anti_join(spark, sf_dir)
+            .select(F.col("c_custkey").alias("key"),
+                    F.col("c_name").alias("name"),
+                    F.lit("anti").alias("side")))
+    semi = (rel_semi_join(spark, sf_dir)
+            .select(F.col("s_suppkey").alias("key"),
+                    F.col("s_name").alias("name"),
+                    F.lit("semi").alias("side")))
+    return anti.unionAll(semi)
+
+
+REL_SEMI_ANTI_JOIN_SQL = """
+    SELECT c_custkey AS key, c_name AS name, 'anti' AS side FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    UNION ALL
+    SELECT s_suppkey AS key, s_name AS name, 'semi' AS side FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+"""
+
+
+# 7+10. per-group window top-1 + global sort/limit, one board row.
+def rel_topk(spark, sf_dir):
+    per_cust = (rel_window_top1(spark, sf_dir)
+                .select(F.col("o_custkey").alias("key"),
+                        "o_orderkey", "price",
+                        F.lit("per_cust").alias("scope")))
+    global_top = (rel_sort_limit(spark, sf_dir)
+                  .select(F.lit(-1).cast("long").alias("key"),
+                          "o_orderkey", "price",
+                          F.lit("global").alias("scope")))
+    return per_cust.unionAll(global_top)
+
+
+REL_TOPK_SQL = """
+    SELECT o_custkey AS key, o_orderkey, price, 'per_cust' AS scope FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice AS price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS key, o_orderkey, price, 'global' AS scope FROM (
+        SELECT o_orderkey, o_totalprice AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+"""
+
+
+# 8+13. argmax aggregate + ordered collect, one board row: the two
+# per-group aggregations side by side on their original tables.
+def rel_argmax_collect(spark, sf_dir):
+    argmax = (rel_argmax(spark, sf_dir)
+              .select(F.col("p_brand").alias("grp"),
+                      F.col("top_part").alias("agg_text"),
+                      F.col("top_key").cast("double").alias("agg_num"),
+                      F.lit("argmax").alias("kind")))
+    coll = (rel_collect_sorted(spark, sf_dir)
+            .select(F.col("n_name").alias("grp"),
+                    F.col("suppliers").alias("agg_text"),
+                    F.col("n_suppliers").cast("double").alias("agg_num"),
+                    F.lit("collect").alias("kind")))
+    return argmax.unionAll(coll)
+
+
+REL_ARGMAX_COLLECT_SQL = """
+    SELECT p_brand AS grp,
+           arg_max(p_name, p_retailprice * 1000000 + p_partkey) AS agg_text,
+           CAST(max(p_retailprice * 1000000 + p_partkey) AS DOUBLE) AS agg_num,
+           'argmax' AS kind
+    FROM part GROUP BY p_brand
+    UNION ALL
+    SELECT n_name AS grp,
+           string_agg(s_name, ',' ORDER BY s_name) AS agg_text,
+           CAST(count(*) AS DOUBLE) AS agg_num,
+           'collect' AS kind
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+# 9+12. distinct + string functions, one board row: the string-func
+# projection feeding a genuine duplicate-collapsing DISTINCT.
+def rel_string_distinct(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return (cust.select(
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.upper(F.col("c_mktsegment")).alias("segment"),
+        F.substring(F.regexp_extract("c_name", "([0-9]+)", 1), 8, 2)
+        .alias("suffix2"))
+            .distinct())
+
+
+REL_STRING_DISTINCT_SQL = """
+    SELECT DISTINCT substr(c_name, 1, 8) AS prefix8,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           upper(c_mktsegment) AS segment,
+           substr(regexp_extract(c_name, '([0-9]+)', 1), 8, 2) AS suffix2
+    FROM customer
+"""
+
+
 QUERIES = {
     "rel_scan_filter": (rel_scan_filter, REL_SCAN_FILTER_SQL),
     "rel_grouped_agg": (rel_grouped_agg, REL_GROUPED_AGG_SQL),
     "rel_broadcast_join": (rel_broadcast_join, REL_BROADCAST_JOIN_SQL),
-    "rel_anti_join": (rel_anti_join, REL_ANTI_JOIN_SQL),
-    "rel_semi_join": (rel_semi_join, REL_SEMI_JOIN_SQL),
+    "rel_semi_anti_join": (rel_semi_anti_join, REL_SEMI_ANTI_JOIN_SQL),
     "rel_band_join": (rel_band_join, REL_BAND_JOIN_SQL),
-    "rel_window_top1": (rel_window_top1, REL_WINDOW_TOP1_SQL),
-    "rel_argmax": (rel_argmax, REL_ARGMAX_SQL),
-    "rel_distinct": (rel_distinct, REL_DISTINCT_SQL),
-    "rel_sort_limit": (rel_sort_limit, REL_SORT_LIMIT_SQL),
+    "rel_topk": (rel_topk, REL_TOPK_SQL),
+    "rel_argmax_collect": (rel_argmax_collect, REL_ARGMAX_COLLECT_SQL),
+    "rel_string_distinct": (rel_string_distinct, REL_STRING_DISTINCT_SQL),
     "rel_set_ops": (rel_set_ops, REL_SET_OPS_SQL),
-    "rel_string_funcs": (rel_string_funcs, REL_STRING_FUNCS_SQL),
-    "rel_collect_sorted": (rel_collect_sorted, REL_COLLECT_SORTED_SQL),
     "rel_join_chain": (rel_join_chain, REL_JOIN_CHAIN_SQL),
 }

@@ -72,7 +72,7 @@ def doc_split_stratified_sql() -> str:
                 WHEN bucket < %d THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM b GROUP BY 1, 2
     """ % (TRAIN_PCT, VAL_PCT)
 
@@ -214,8 +214,8 @@ def pack_sequences_sql() -> str:
         FROM sized
     )
     SELECT doc_id, n_tokens,
-           prefix // {budget} AS bin_id,
-           prefix %% {budget} AS offset_in_bin
+           CAST(prefix // {budget} AS BIGINT) AS bin_id,
+           CAST(prefix %% {budget} AS BIGINT) AS offset_in_bin
     FROM pfx
     """.format(budget=PACK_BUDGET) % ()
 
