@@ -91,3 +91,22 @@ def test_override_ini_section(tmp_path):
     assert load_lex(dst).filters["default_entity"] == "abstract"
     with pytest.raises(IOError, match="No section"):
         load_lex(dst, override="MISSING")
+
+
+def test_output_dir_executor_side_writes_equal_sequential(tmp_path, monkeypatch, spark):
+    """--output-dir with -p 2: payloads are written executor-side (never
+    collected to the driver) and must be byte-equal to the sequential
+    run's files."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for src in sorted(glob.glob(os.path.join(DOCS, "*.conllu")))[:4]:
+        shutil.copy(src, src_dir)
+    monkeypatch.chdir(tmp_path)
+    assert main(["-o", "sgml", "--output-dir", str(tmp_path / "seq"),
+                 str(src_dir / "*.conllu")]) == 0
+    assert main(["-o", "sgml", "-p", "2", "--output-dir",
+                 str(tmp_path / "par"), str(src_dir / "*.conllu")]) == 0
+    seq_outs = sorted((tmp_path / "seq").glob("*.sgml"))
+    assert len(seq_outs) == 4
+    for out in seq_outs:
+        assert (tmp_path / "par" / out.name).read_bytes() == out.read_bytes()

@@ -54,21 +54,22 @@ def process_file(path: str, lex, fmt: str, model_name: str):
             list(result.dump_headers), result.n_tokens, result.n_sentences)
 
 
-def _emit(docname: str, fmt: str, payload, single: bool):
+def _emit(docname: str, fmt: str, payload, single: bool, outdir: str = "."):
     if fmt == "none" or payload is None:
         return
     if fmt == "paula":  # multi-file standoff: one directory per doc
-        os.makedirs(docname, exist_ok=True)
+        doc_dir = os.path.join(outdir, docname)
+        os.makedirs(doc_dir, exist_ok=True)
         for fn, data in payload.items():
-            with io.open(os.path.join(docname, fn), "w", encoding="utf8",
+            with io.open(os.path.join(doc_dir, fn), "w", encoding="utf8",
                          newline="\n") as fh:
                 fh.write(data)
         return
     if single:
         sys.stdout.buffer.write(payload.encode("utf8"))
     else:
-        with io.open(docname + "." + _EXT[fmt], "w", encoding="utf8",
-                     newline="\n") as fh:
+        with io.open(os.path.join(outdir, docname + "." + _EXT[fmt]), "w",
+                     encoding="utf8", newline="\n") as fh:
             fh.write(payload)
 
 
@@ -95,6 +96,10 @@ def main(argv=None):
                          "local[p]")
     ap.add_argument("-d", "--dump", default=None,
                     help="file to dump training analyses into")
+    ap.add_argument("--output-dir", default=".",
+                    help="directory for per-document output files "
+                         "(multi-file runs; default: current directory). "
+                         "With -p >= 2 the files are written executor-side")
     ap.add_argument("--oracle", default=None,
                     help="file with oracle entity predictions")
     ap.add_argument("--version", action="version", version=VERSION)
@@ -125,6 +130,10 @@ def main(argv=None):
     total_toks = total_sents = 0
     dump_rows, dump_headers = [], []
 
+    outdir = os.path.abspath(opts.output_dir)
+    if not single and opts.format != "none":
+        os.makedirs(outdir, exist_ok=True)
+
     if opts.procs >= 2 and len(files) > 1:
         from .session import get_spark
         spark = get_spark("xrenner-cli", cores=opts.procs,
@@ -133,8 +142,23 @@ def main(argv=None):
         bcast = spark.sparkContext.broadcast(lex)
         fmt, model_name = opts.format, opts.model
         sc = spark.sparkContext
+        # Executor-side output: each task serializes AND writes its own
+        # documents, so payloads never accumulate on the driver (at 50k+
+        # files the collected SGML/HTML bodies would be the only
+        # driver-memory-bound surface in the repo).  Only the bounded
+        # per-doc metadata (dump rows, token counts) comes back.  stdout
+        # mode (single file) never takes this branch.
+        write_here = not single and fmt != "none"
+
+        def work(path):
+            r = process_file(path, bcast.value, fmt, model_name)
+            if write_here:
+                _emit(r[0], fmt, r[1], False, outdir)
+                return (r[0], None) + r[2:]
+            return r
+
         results = (sc.parallelize(files, min(opts.procs, len(files)))
-                   .map(lambda p: process_file(p, bcast.value, fmt, model_name))
+                   .map(work)
                    .collect())
     else:
         results = [process_file(p, lex, opts.format, opts.model)
@@ -142,7 +166,7 @@ def main(argv=None):
 
     seen = set()
     for docname, payload, rows, headers, n_toks, n_sents in results:
-        _emit(docname, opts.format, payload, single)
+        _emit(docname, opts.format, payload, single, outdir)
         total_toks += n_toks
         total_sents += n_sents
         for row in rows:
