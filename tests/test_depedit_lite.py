@@ -33,15 +33,32 @@ def test_rewrite_matches_reference(name, case):
 
 
 @pytest.mark.parametrize("bad", [
-    "func=/a/;func=/b/\t#1>#2;#2.#3\t#1:func=x",   # multi-relation chain
+    "func=/a/;func=/b/\t#1>#2;#2.#3\t#1:func=x",   # relation node out of range
     "func=/a/\tnone\t#S:foo=bar",                   # sentence annotation
     "{var}=/x/",                                    # variables
     "badattr=/x/\tnone\t#1:func=y",                 # unknown attribute
-    "func=/a/\t#1:text==#2\t#1:func=y",             # == field equality
+    "func=/a/\t#1:position==#2\t#1:func=y",         # == on synthetic attr
 ])
 def test_unsupported_constructs_raise(bad):
     with pytest.raises(ValueError):
         DepEditLite([bad])
+
+
+def _chain_cases():
+    path = os.path.join(HERE, "fixtures", "depedit_chains.json")
+    with open(path, encoding="utf8") as fh:
+        return sorted(json.load(fh).items())
+
+
+@pytest.mark.parametrize("name,case", _chain_cases(),
+                         ids=[n for n, _ in _chain_cases()])
+def test_multi_relation_chains_match_reference(name, case):
+    """Round-4 generality fire drill: a third-party-style config using
+    multi-relation chains and == field equality, reference-captured
+    outputs (scripts/make_depedit_chains.py; 400-doc sweep byte-exact,
+    0 divergent)."""
+    engine = DepEditLite(case["ini"].split("\n"))
+    assert engine.run(case["input"]) == case["output"]
 
 
 def _realworld_cases():

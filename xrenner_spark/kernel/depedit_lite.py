@@ -18,9 +18,17 @@ model needing the full engine fails loudly instead of rewriting wrong):
   string fast path when the value has no regex operators
   (reference depedit.py:181-233 DefinitionMatcher/Definition)
 - relations: ``none`` (unary), ``#A.#B`` adjacency, ``#A.n#B`` /
-  ``#A.n,m#B`` token-distance bands, ``#A>#B`` dependency parenthood
-  (reference depedit.py:475-505 test_relation); one relation per rule
-  (multi-relation chains and ``==`` field equality are not supported)
+  ``#A.n,m#B`` token-distance bands, ``#A>#B`` dependency parenthood,
+  ``#A:field==#B`` field equality (reference depedit.py:385-505
+  matches_relation/test_relation), and ``;``-joined MULTI-RELATION
+  chains (e.g. ``#1>#2;#2>#3``): each relation is matched in order
+  against progressively pruned per-node candidates, pairs are merged
+  into complete assignments exactly like the reference's bins
+  (depedit.py:507-548 merge_sets: compatible-overlap merge that adopts
+  the existing bin's token on conflict and appends one missing node per
+  merge, plus the missing-relation patch for node pairs carrying
+  several relations), and a rule with any hit-less relation is a no-op
+  (matches_relation returning False clears result_sets)
 - actions: ``#N:attr=value`` attribute assignment with ``$n`` regex-
   group substitution, and ``#A>#B`` head reattachment
   (reference depedit.py:648-706 execute_action)
@@ -140,27 +148,41 @@ class _Rule:
                              "separated fields" % line_num)
         node_text, rel_text, action_text = parts
         self.nodes = [_NodeDef(n) for n in node_text.split(";")]
-        self.relation = self._parse_relation(rel_text.strip(), line_num)
+        rel_text = rel_text.strip()
+        if rel_text == "none":
+            if len(self.nodes) != 1:
+                raise ValueError("depedit_lite line %d: 'none' needs exactly"
+                                 " one node" % line_num)
+            self.relations = None
+        else:
+            self.relations = [self._parse_relation(r.strip(), line_num)
+                              for r in rel_text.split(";")]
         self.actions = [self._parse_action(a.strip(), line_num)
                         for a in action_text.split(";")]
 
     def _parse_relation(self, text: str, line_num: int):
-        if text == "none":
-            if len(self.nodes) != 1:
-                raise ValueError("depedit_lite line %d: 'none' needs exactly"
-                                 " one node" % line_num)
-            return None
+        m = re.match(r"#(\d+):([a-z2]+)==#(\d+)$", text)
+        if m is not None:  # field equality (reference depedit.py:389-392)
+            attr = ALIASES.get(m.group(2), m.group(2))
+            if attr not in _ATTRS or attr == "position":
+                raise ValueError("depedit_lite line %d: unsupported equality"
+                                 " field %r" % (line_num, m.group(2)))
+            a, b = int(m.group(1)), int(m.group(3))
+            if not (1 <= a <= len(self.nodes) and 1 <= b <= len(self.nodes)):
+                raise ValueError("depedit_lite line %d: relation node out of"
+                                 " range" % line_num)
+            return (a, "==", attr, 0, b)
         text = text.replace(".*", ".1,1000")
         m = re.match(r"#(\d+)(>|\.(?:\d+(?:,\d+)?)?)#(\d+)$", text)
         if m is None:
             raise ValueError("depedit_lite line %d: unsupported relation %r"
-                             " (one binary relation per rule)" % (line_num, text))
+                             % (line_num, text))
         a, op, b = int(m.group(1)), m.group(2), int(m.group(3))
         if not (1 <= a <= len(self.nodes) and 1 <= b <= len(self.nodes)):
             raise ValueError("depedit_lite line %d: relation node out of"
                              " range" % line_num)
         if op == ">":
-            return (a, ">", 0, 0, b)
+            return (a, ">", None, 0, b)
         if op == ".":
             return (a, ".", 1, 1, b)
         dm = re.match(r"\.(\d+)(?:,(\d+))?$", op)
@@ -182,6 +204,75 @@ class _Rule:
         raise ValueError("depedit_lite line %d: unsupported action %r"
                          % (line_num, text))
 
+    def _rel_holds(self, rel, tok_a: _Tok, tok_b: _Tok) -> bool:
+        _a, op, x, hi, _b = rel
+        if op == ">":
+            return int(float(tok_b.head)) == int(tok_a.id)
+        if op == "==":
+            return getattr(tok_a, x) == getattr(tok_b, x)
+        return x <= int(tok_b.id) - int(tok_a.id) <= hi
+
+    def _solve(self, per_node):
+        """Complete node assignments for a multi-relation rule, mirroring
+        the reference's matches_relation + merge_sets pipeline
+        (depedit.py:385-548): relations matched in order over
+        progressively pruned candidates; pair sets merged into bins by
+        compatible overlap (existing bin wins a conflicting node, one
+        missing node adopted per merge); bins covering every node with
+        every relation satisfied — directly or via the missing-relation
+        patch for multiply-related node pairs — are the solutions."""
+        n_nodes, n_rels = len(self.nodes), len(self.relations)
+        cands = {i: [tok for tok, _g in per_node[i - 1]]
+                 for i in range(1, n_nodes + 1)}
+        sets: List[Tuple[int, int, int, _Tok, _Tok]] = []
+        failed = False
+        for ridx, rel in enumerate(self.relations):
+            a, b = rel[0], rel[4]
+            hit_a, hit_b = [], []
+            for tok_a in cands[a]:
+                for tok_b in cands[b]:
+                    if self._rel_holds(rel, tok_a, tok_b):
+                        sets.append((ridx, a, b, tok_a, tok_b))
+                        hit_a.append(tok_a)
+                        hit_b.append(tok_b)
+            if not hit_a:
+                # reference: a hit-less relation clears result_sets, and
+                # nothing downstream can recover the missing relation
+                failed = True
+            cands[a] = [t for t in cands[a] if t in hit_a]
+            cands[b] = [t for t in cands[b] if t in hit_b]
+        if failed:
+            return []
+        bins: List[Tuple[dict, List[int]]] = []  # (node->tok, rel ids)
+        for ridx, a, b, tok_a, tok_b in sets:
+            nodes_s = {a: tok_a, b: tok_b}
+            for nodes_b, rels_b in list(bins):
+                shared_equal = any(k in nodes_b and nodes_b[k] is v
+                                   for k, v in nodes_s.items())
+                missing = [k for k in nodes_s if k not in nodes_b]
+                if shared_equal and missing:
+                    merged = dict(nodes_b)
+                    merged[missing[0]] = nodes_s[missing[0]]
+                    bins.append((merged, rels_b + [ridx]))
+            bins.append((nodes_s, [ridx]))
+        solutions, seen = [], set()
+        for nodes_b, rels_b in bins:
+            if len(nodes_b) != n_nodes:
+                continue
+            rels = set(rels_b)
+            if len(rels) < n_rels:
+                for ridx, a, b, tok_a, tok_b in sets:
+                    if (ridx not in rels and nodes_b.get(a) is tok_a
+                            and nodes_b.get(b) is tok_b):
+                        rels.add(ridx)
+            if len(rels) != n_rels:
+                continue
+            key = tuple(id(nodes_b[i]) for i in range(1, n_nodes + 1))
+            if key not in seen:
+                seen.add(key)
+                solutions.append(nodes_b)
+        return solutions
+
     def apply(self, tokens: List[_Tok]):
         per_node = []
         for node in self.nodes:
@@ -195,24 +286,17 @@ class _Rule:
             if not matched:
                 return
             per_node.append(matched)
+        groups_of = [{id(tok): g for tok, g in matched}
+                     for matched in per_node]
         results: List[Tuple] = []
-        if self.relation is None:
+        if self.relations is None:
             results = [((tok,), groups) for tok, groups in per_node[0]]
         else:
-            a, op, lo, hi, b = self.relation
-            for tok_a, g_a in per_node[a - 1]:
-                for tok_b, g_b in per_node[b - 1]:
-                    if op == ">":
-                        ok = int(float(tok_b.head)) == int(tok_a.id)
-                    else:
-                        ok = lo <= int(tok_b.id) - int(tok_a.id) <= hi
-                    if ok:
-                        pair = {a: tok_a, b: tok_b}
-                        groups = [g for _idx, gs in sorted(
-                            [(a, g_a), (b, g_b)]) for g in gs]
-                        results.append((tuple(pair[i + 1]
-                                              for i in range(len(self.nodes))),
-                                        groups))
+            for nodes_b in self._solve(per_node):
+                toks = tuple(nodes_b[i + 1] for i in range(len(self.nodes)))
+                groups = [g for i, tok in enumerate(toks)
+                          for g in groups_of[i][id(tok)]]
+                results.append((toks, groups))
         for toks, groups in results:
             flat = [g for tup in groups for g in tup]
             for action in self.actions:
