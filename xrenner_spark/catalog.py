@@ -9,10 +9,21 @@ overwrite semantics and per-stage ``_lineage`` sidecar tables
 flag: ``Catalog(spark, iceberg_catalog="my_cat")`` routes every call
 through ``writeTo``/``spark.read.table`` instead.
 
-Jar status: retried 2026-08-16 (round 3) — no iceberg-spark-runtime jar
-anywhere on the image (/opt/spark/jars has no table-format jars) and
-repo1.maven.org is unreachable from the sandbox, so the Iceberg branch
-remains untested here; the parquet branch carries the tested semantics.
+Jar status — TERMINAL (2026-08-17, round 4, final attempt): no
+iceberg/table-format jar anywhere on the image, no pyiceberg, and
+repo1.maven.org is DNS-unresolvable from the sandbox, so a real Iceberg
+catalog can never execute here.  The branch is therefore a validated
+feature flag: the constructor refuses an ``iceberg_catalog`` whose
+``spark.sql.catalog.<name>`` configuration is absent (loud fail naming
+the missing jar/config instead of an opaque AnalysisException at first
+write).  What could be executed WAS executed (test_catalog_v2):
+``tableExists`` and ``spark.read.table`` run green against Spark's
+built-in V2SessionCatalog stand-in; ``createOrReplace`` and
+``writeTo(...).append()`` reach the JVM and are rejected only by the
+session catalog's missing capabilities (RTAS unsupported; V1Table not
+writable through V2) — i.e. every call in the branch is well-formed
+DataSourceV2 API, and only the capabilities an Iceberg catalog
+provides need the runtime jar at deploy time.
 """
 
 from __future__ import annotations
@@ -31,6 +42,22 @@ class Catalog:
         self.iceberg_catalog = iceberg_catalog
         if iceberg_catalog is None:
             os.makedirs(warehouse, exist_ok=True)
+        else:
+            # feature-flag validation (see module docstring): fail loudly
+            # at construction if the named catalog is not configured,
+            # instead of an opaque AnalysisException at first write.
+            # "spark_catalog" is Spark's built-in session catalog and is
+            # always present (V2SessionCatalog; no RTAS — stand-in for
+            # the executable subset of the branch only).
+            name = iceberg_catalog.split(".")[0]
+            if name != "spark_catalog" and \
+                    spark.conf.get("spark.sql.catalog." + name, None) is None:
+                raise RuntimeError(
+                    "iceberg_catalog=%r but spark.sql.catalog.%s is not "
+                    "configured — an iceberg-spark-runtime jar plus the "
+                    "catalog config must be on the cluster (unobtainable "
+                    "in this sandbox; see catalog.py docstring)"
+                    % (iceberg_catalog, name))
 
     # -- naming ---------------------------------------------------------
     def _path(self, name: str) -> str:
