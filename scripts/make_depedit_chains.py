@@ -27,9 +27,12 @@ sys.path.insert(0, REPO)
 # band (repeated-lemma NOUN pairs), rule 3 chains parenthood with
 # adjacency to relabel determiner-adjacent possessives.
 CHAIN_INI = """; third-party style: name-chain + repeated-lemma normalization
-pos=/PROPN/;pos=/PROPN/&func=/flat/;pos=/VERB/\t#3>#1;#1>#2\t#2:morph=InName=Yes
+{name}=/PROPN/
+{pred}=/VERB|ADJ/
+pos=/{name}/;pos=/{name}/&func=/flat/;pos=/{pred}/\t#3>#1;#1>#2\t#2:morph=InName=Yes
 pos=/NOUN/;pos=/NOUN/\t#1:lemma==#2;#1.1,30#2\t#2:func2=lemma-repeat
 pos=/DET/;pos=/NOUN/;pos=/VERB/\t#1.#2;#3>#2\t#2:cpos=DETN
+pos=/{pred}/;pos=/NOUN/;pos=/DET/\t#1>#2>#3\t#3:morph=Chain=Short
 """
 
 

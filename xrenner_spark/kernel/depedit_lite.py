@@ -21,7 +21,8 @@ model needing the full engine fails loudly instead of rewriting wrong):
   ``#A.n,m#B`` token-distance bands, ``#A>#B`` dependency parenthood,
   ``#A:field==#B`` field equality (reference depedit.py:385-505
   matches_relation/test_relation), and ``;``-joined MULTI-RELATION
-  chains (e.g. ``#1>#2;#2>#3``): each relation is matched in order
+  chains (e.g. ``#1>#2;#2>#3``, incl. the ``#1>#2>#3`` chain shorthand,
+  depedit.py:124-132): each relation is matched in order
   against progressively pruned per-node candidates, pairs are merged
   into complete assignments exactly like the reference's bins
   (depedit.py:507-548 merge_sets: compatible-overlap merge that adopts
@@ -32,6 +33,11 @@ model needing the full engine fails loudly instead of rewriting wrong):
 - actions: ``#N:attr=value`` attribute assignment with ``$n`` regex-
   group substitution, and ``#A>#B`` head reattachment
   (reference depedit.py:648-706 execute_action)
+- ``{var}=/value/`` variable definitions substituted into node
+  definitions (reference depedit.py:93-99, 334-338; undefined
+  variables raise instead of quit())
+
+Still unsupported (loud-fail at load): ``#S:`` sentence annotations.
 
 Processing mirrors the reference: rules run per sentence in file order,
 all matches of a rule are collected before its actions run, actions
@@ -141,14 +147,22 @@ class _NodeDef:
 
 
 class _Rule:
-    def __init__(self, line: str, line_num: int):
+    def __init__(self, line: str, line_num: int, variables=None):
         parts = line.split("\t")
         if len(parts) != 3:
             raise ValueError("depedit_lite line %d: need exactly 3 tab-"
                              "separated fields" % line_num)
         node_text, rel_text, action_text = parts
+        # {var} substitution applies to the definition column only
+        # (reference depedit.py:93-99; undefined variable quit()s there,
+        # raises here)
+        for var in re.findall(r"\{([^}]+)\}", node_text):
+            if not variables or var not in variables:
+                raise ValueError("depedit_lite line %d: undefined variable"
+                                 " {%s}" % (line_num, var))
+            node_text = node_text.replace("{" + var + "}", variables[var])
         self.nodes = [_NodeDef(n) for n in node_text.split(";")]
-        rel_text = rel_text.strip()
+        rel_text = self._normalize_shorthand(rel_text.strip())
         if rel_text == "none":
             if len(self.nodes) != 1:
                 raise ValueError("depedit_lite line %d: 'none' needs exactly"
@@ -159,6 +173,21 @@ class _Rule:
                               for r in rel_text.split(";")]
         self.actions = [self._parse_action(a.strip(), line_num)
                         for a in action_text.split(";")]
+
+    @staticmethod
+    def _normalize_shorthand(text: str) -> str:
+        """``#1>#2>#3`` chain shorthand -> explicit ``#1>#2;#2>#3``
+        relation lists, and ``.*`` -> the 1,1000 distance band, both at
+        whole-column level (reference depedit.py:124-132)."""
+        text = text.replace(".*", ".1,1000")
+        prev = None
+        while prev != text:
+            prev = text
+            text = re.sub(
+                r"(#\d+)(>|\.(?:\d+(?:,\d+)?)?)(#\d+)"
+                r"(>|\.(?:\d+(?:,\d+)?)?)",
+                r"\1\2\3;\3\4", text)
+        return text
 
     def _parse_relation(self, text: str, line_num: int):
         m = re.match(r"#(\d+):([a-z2]+)==#(\d+)$", text)
@@ -172,7 +201,6 @@ class _Rule:
                 raise ValueError("depedit_lite line %d: relation node out of"
                                  " range" % line_num)
             return (a, "==", attr, 0, b)
-        text = text.replace(".*", ".1,1000")
         m = re.match(r"#(\d+)(>|\.(?:\d+(?:,\d+)?)?)#(\d+)$", text)
         if m is None:
             raise ValueError("depedit_lite line %d: unsupported relation %r"
@@ -322,16 +350,21 @@ class DepEditLite:
 
     def __init__(self, config_lines):
         self.rules = []
+        self.variables = {}
         for i, line in enumerate(config_lines, start=1):
             line = line.rstrip("\n").strip()
             if not line or line.startswith(";"):
                 continue
+            m = re.match(r"\{([^}]+)\}=/([^\n]+)/$", line)
+            if m is not None:  # variable definition (depedit.py:334-338)
+                self.variables[m.group(1)] = m.group(2)
+                continue
             if line.startswith("#") and not line.startswith("#S:"):
                 continue
-            if line.startswith("{") or line.startswith("#S:"):
-                raise ValueError("depedit_lite: variables/sentence"
-                                 " annotations not supported (line %d)" % i)
-            self.rules.append(_Rule(line, i))
+            if line.startswith("#S:") or "#S:" in line.split("\t")[0]:
+                raise ValueError("depedit_lite: sentence annotations"
+                                 " (#S:) not supported (line %d)" % i)
+            self.rules.append(_Rule(line, i, self.variables))
 
     def run(self, conllu: str) -> str:
         out: List[str] = []
