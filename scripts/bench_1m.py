@@ -76,14 +76,25 @@ def main():
         n_triples = triples_stage(kernel_out).count()
         t_triples = round(time.perf_counter() - t1, 3)
         wall = round(time.perf_counter() - t0, 3)
+        from pyspark.sql import functions as F
+        errs = (kernel_out.filter((F.col("row_type") == "d")
+                                  & (F.col("error") != ""))
+                .select("error").limit(3).collect())
+        n_err = kernel_out.filter((F.col("row_type") == "d")
+                                  & (F.col("error") != "")).count()
         reps.append({"canary_s": c, "kernel_write_s": t_kernel,
                      "triples_sql_s": t_triples, "wall_s": wall,
                      "docs_per_sec": round(n_docs / wall, 1),
                      "triples_per_sec": round(n_triples / wall, 1),
-                     "n_triples": n_triples})
+                     "n_triples": n_triples, "n_doc_errors": n_err,
+                     "err_sample": [r["error"][:200] for r in errs]})
         shutil.rmtree(wh, ignore_errors=True)
         spark._jvm.System.gc()
         print(json.dumps(reps[-1]))
+        if n_triples == 0:  # one 1M rep once produced 0 triples with no
+            # errors recorded (unreproduced); a silent-empty rep must
+            # never enter the record
+            raise SystemExit("rep produced 0 triples — run is invalid")
     best = min(reps, key=lambda r: r["wall_s"])
     print(json.dumps({"n_docs": n_docs, "cores": CORES,
                       "partitions": partitions, "best": best,

@@ -33,6 +33,9 @@ pos=/{name}/;pos=/{name}/&func=/flat/;pos=/{pred}/\t#3>#1;#1>#2\t#2:morph=InName
 pos=/NOUN/;pos=/NOUN/\t#1:lemma==#2;#1.1,30#2\t#2:func2=lemma-repeat
 pos=/DET/;pos=/NOUN/;pos=/VERB/\t#1.#2;#3>#2\t#2:cpos=DETN
 pos=/{pred}/;pos=/NOUN/;pos=/DET/\t#1>#2>#3\t#3:morph=Chain=Short
+#S:speaker=/.+/;pos=/PRON/\t#1.1,1000#2\t#2:morph=InDialogue;#S:dialog=yes
+#S:dialog=/yes/;pos=/{name}/\t#1>#2\t#2:func2=spoken-name;last
+pos=/NOUN/\tnone\t#1:func2=never-reached-after-last-in-dialogue
 """
 
 

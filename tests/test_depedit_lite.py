@@ -34,7 +34,7 @@ def test_rewrite_matches_reference(name, case):
 
 @pytest.mark.parametrize("bad", [
     "func=/a/;func=/b/\t#1>#2;#2.#3\t#1:func=x",   # relation node out of range
-    "func=/a/\tnone\t#S:foo=bar",                   # sentence annotation
+    "func=/a/\tnone\t#S:foo=bar baz",               # bad #S: value charset
     "pos=/{undef}/\tnone\t#1:func=y",               # undefined {variable}
     "badattr=/x/\tnone\t#1:func=y",                 # unknown attribute
     "func=/a/\t#1:position==#2\t#1:func=y",         # == on synthetic attr

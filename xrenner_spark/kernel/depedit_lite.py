@@ -31,13 +31,20 @@ model needing the full engine fails loudly instead of rewriting wrong):
   several relations), and a rule with any hit-less relation is a no-op
   (matches_relation returning False clears result_sets)
 - actions: ``#N:attr=value`` attribute assignment with ``$n`` regex-
-  group substitution, and ``#A>#B`` head reattachment
-  (reference depedit.py:648-706 execute_action)
+  group substitution, ``#A>#B`` head reattachment, ``#S:key=val``
+  sentence-annotation assignment, and ``last`` (stop this sentence's
+  remaining rules — after the earlier actions ran over every result)
+  (reference depedit.py:648-706 execute_action, :379-381)
 - ``{var}=/value/`` variable definitions substituted into node
   definitions (reference depedit.py:93-99, 334-338; undefined
   variables raise instead of quit())
-
-Still unsupported (loud-fail at load): ``#S:`` sentence annotations.
+- ``#S:key=/val/`` sentence-annotation node definitions: read from
+  ``# key=value`` input comments, shadowed by rule-set annotations,
+  first matching token registers once, and the node DOMINATES any
+  relation it is the left operand of; rule-ADDED annotations serialize
+  as ``# key=val`` lines before the sentence's token block
+  (reference depedit.py:59-83, 187-189, 365-368, 452, 657-660, 792)
+- the ``num`` criterion (raw input token id string)
 
 Processing mirrors the reference: rules run per sentence in file order,
 all matches of a rule are collected before its actions run, actions
@@ -56,12 +63,32 @@ ALIASES = {"form": "text", "upostag": "pos", "xpostag": "cpos",
            "misc": "func2", "xpos": "cpos", "upos": "pos"}
 
 _ATTRS = {"text", "pos", "cpos", "lemma", "morph", "func", "head",
-          "head2", "func2", "position"}
+          "head2", "func2", "position", "num"}
+
+
+class _SentAnnos:
+    """Per-sentence annotation state (reference depedit.py:71-83):
+    ``input_annotations`` from ``# key=value`` comment lines, and
+    ``annotations`` added by ``#S:`` rule actions (only the latter are
+    serialized, before the token block, in insertion order)."""
+
+    __slots__ = ("input_annotations", "annotations")
+
+    def __init__(self):
+        self.input_annotations = {}
+        self.annotations = {}
+
+    def lookup(self, key: str) -> str:
+        # rule-set annotations shadow input ones (depedit.py:59-65)
+        if key in self.annotations:
+            return self.annotations[key]
+        return self.input_annotations.get(key, "")
 
 
 class _Tok:
     __slots__ = ("id", "text", "lemma", "pos", "cpos", "morph", "head",
-                 "func", "head2", "func2", "position", "is_super", "raw_id")
+                 "func", "head2", "func2", "position", "is_super", "raw_id",
+                 "num", "sent")
 
     def __init__(self, cols: List[str]):
         self.raw_id = cols[0]
@@ -73,6 +100,8 @@ class _Tok:
         self.head2 = cols[8] if len(cols) > 8 else cols[6]
         self.func2 = cols[9] if len(cols) > 8 else cols[7]
         self.position = "mid"
+        self.num = cols[0]  # raw input id string (reference .num)
+        self.sent: Optional[_SentAnnos] = None
 
     def serialize(self, ten_col: bool) -> str:
         tid = self.raw_id if self.is_super else \
@@ -89,9 +118,15 @@ class _Tok:
 
 class _Criterion:
     def __init__(self, attr: str, value: str, negative: bool):
-        attr = ALIASES.get(attr, attr)
-        if attr not in _ATTRS:
-            raise ValueError("depedit_lite: unsupported attribute %r" % attr)
+        if attr.startswith("#S:"):  # sentence-annotation criterion
+            self.anno_key: Optional[str] = attr.split(":", 1)[1]
+            attr = "#S"
+        else:
+            self.anno_key = None
+            attr = ALIASES.get(attr, attr)
+            if attr not in _ATTRS:
+                raise ValueError("depedit_lite: unsupported attribute %r"
+                                 % attr)
         self.attr = attr
         self.negative = negative
         anchored = value
@@ -110,7 +145,10 @@ class _Criterion:
 
     def match(self, tok: _Tok):
         """False, True (no groups), or a match object (groups exposed)."""
-        val = getattr(tok, self.attr)
+        if self.anno_key is not None:
+            val = tok.sent.lookup(self.anno_key)
+        else:
+            val = getattr(tok, self.attr)
         if self.attr == "head":
             # sentence-local head id, integers without trailing .0
             val = val if val == "0" else ("%g" % float(val))
@@ -126,8 +164,12 @@ class _Criterion:
 class _NodeDef:
     def __init__(self, text: str):
         self.criteria = []
+        # a definition whose TEXT starts with #S: is a sentence-annotation
+        # node: only its first matching token registers, and it grants
+        # relation dominance (reference depedit.py:187-189, 365-368, 452)
+        self.sent_def = text.startswith("#S:")
         for item in text.split("&"):
-            m = re.match(r"([a-z2]+)(!?)=/(.*)/$", item)
+            m = re.match(r"([a-z2]+|#S:[A-Za-z_]+)(!?)=/(.*)/$", item)
             if m is None:
                 raise ValueError("depedit_lite: bad node definition %r" % item)
             self.criteria.append(_Criterion(m.group(1), m.group(3),
@@ -219,6 +261,12 @@ class _Rule:
         return (a, ".", lo, hi, b)
 
     def _parse_action(self, text: str, line_num: int):
+        if text == "last":  # cease processing this sentence's rules
+            return ("last",)
+        m = re.match(r"#S:([A-Za-z_]+)=([A-Za-z_]+)$", text)
+        if m is not None:  # sentence-annotation action (depedit.py:657-660;
+            # the value charset is the reference validator's, :175)
+            return ("sannot", m.group(1), m.group(2))
         m = re.match(r"#(\d+):([a-z2]+)=(.*)$", text)
         if m is not None:
             attr = ALIASES.get(m.group(2), m.group(2))
@@ -256,10 +304,14 @@ class _Rule:
         failed = False
         for ridx, rel in enumerate(self.relations):
             a, b = rel[0], rel[4]
+            # a sentence-annotation node as the LEFT operand dominates:
+            # the relation always holds (reference depedit.py:452 checks
+            # matcher1.sent_def only, and not in the == branch)
+            dominate = self.nodes[a - 1].sent_def and rel[1] != "=="
             hit_a, hit_b = [], []
             for tok_a in cands[a]:
                 for tok_b in cands[b]:
-                    if self._rel_holds(rel, tok_a, tok_b):
+                    if dominate or self._rel_holds(rel, tok_a, tok_b):
                         sets.append((ridx, a, b, tok_a, tok_b))
                         hit_a.append(tok_a)
                         hit_b.append(tok_b)
@@ -301,7 +353,10 @@ class _Rule:
                 solutions.append(nodes_b)
         return solutions
 
-    def apply(self, tokens: List[_Tok]):
+    def apply(self, tokens: List[_Tok]) -> bool:
+        """Run the rule over one sentence's tokens.  Returns True when a
+        ``last`` action fired (stop processing further rules for this
+        sentence, reference depedit.py:379-381)."""
         per_node = []
         for node in self.nodes:
             matched = []
@@ -311,8 +366,10 @@ class _Rule:
                 groups = node.match(tok)
                 if groups is not None:
                     matched.append((tok, groups))
+                    if node.sent_def:
+                        break  # only the first match registers
             if not matched:
-                return
+                return False
             per_node.append(matched)
         groups_of = [{id(tok): g for tok, g in matched}
                      for matched in per_node]
@@ -325,11 +382,21 @@ class _Rule:
                 groups = [g for i, tok in enumerate(toks)
                           for g in groups_of[i][id(tok)]]
                 results.append((toks, groups))
-        for toks, groups in results:
-            flat = [g for tup in groups for g in tup]
-            for action in self.actions:
-                if action[0] == "set":
+        if not results:
+            return False
+        # action-outer / result-inner, like the reference's
+        # process_sentence -> execute_action nesting: a 'last' action
+        # fires after every earlier action ran over ALL results
+        for action in self.actions:
+            if action[0] == "last":
+                return True
+            for toks, groups in results:
+                if action[0] == "sannot":
+                    _kind, key, val = action
+                    toks[0].sent.annotations[key] = val
+                elif action[0] == "set":
                     _kind, idx, attr, value = action
+                    flat = [g for tup in groups for g in tup]
                     for gref in re.findall(r"\$(\d+)([LU]?)", value):
                         gval = flat[int(gref[0]) - 1]
                         if gref[1] == "L":
@@ -343,6 +410,7 @@ class _Rule:
                     tok_a, tok_b = toks[ia - 1], toks[ib - 1]
                     if tok_a is not tok_b:
                         tok_b.head = ("%g" % tok_a.id)
+        return False
 
 
 class DepEditLite:
@@ -360,18 +428,17 @@ class DepEditLite:
                 self.variables[m.group(1)] = m.group(2)
                 continue
             if line.startswith("#") and not line.startswith("#S:"):
-                continue
-            if line.startswith("#S:") or "#S:" in line.split("\t")[0]:
-                raise ValueError("depedit_lite: sentence annotations"
-                                 " (#S:) not supported (line %d)" % i)
+                continue  # comment; #S:-initial lines are rules (:340)
             self.rules.append(_Rule(line, i, self.variables))
 
     def run(self, conllu: str) -> str:
         out: List[str] = []
         sent: List[_Tok] = []
         ten_col = True
+        cur = _SentAnnos()
 
         def flush():
+            nonlocal cur
             if not sent:
                 return
             for tok in sent:
@@ -380,12 +447,18 @@ class DepEditLite:
             sent[-1].position = "last"  # after "first": ref order, so a
             # single-token sentence matches position=/last/
             for rule in self.rules:
-                rule.apply(sent)
+                if rule.apply(sent):
+                    break  # a 'last' action ends this sentence's rules
+            # rule-added sentence annotations serialize before the token
+            # block, in insertion order (reference depedit.py:82-83, 792)
+            for key, val in cur.annotations.items():
+                out.append("# %s=%s" % (key, val))
             for tok in sent:
                 if tok.is_super:
                     continue  # kill=supertoks, as xrenner configures it
                 out.append(tok.serialize(ten_col))
             del sent[:]
+            cur = _SentAnnos()
 
         for raw in conllu.split("\n"):
             line = raw.strip()
@@ -393,13 +466,18 @@ class DepEditLite:
                 flush()
             if line.startswith("#"):
                 out.append(line)
+                if "=" in line:  # original comment annos (:815-817)
+                    key, val = line[1:].split("=", 1)
+                    cur.input_annotations[key.strip()] = val.strip()
             elif not line:
                 out.append("")
             elif "\t" in line:
                 cols = line.split("\t")
                 if len(cols) <= 8:
                     ten_col = False
-                sent.append(_Tok(cols))
+                tok = _Tok(cols)
+                tok.sent = cur
+                sent.append(tok)
         flush()
         # the reference restores the trailing whitespace of the NEWLINE-
         # JOINED input lines (depedit.py:863-866) — i.e. newlines
