@@ -160,8 +160,18 @@ def main():
 
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # regenerate only the generated block; PRESERVE the hand-written
+    # history sections (everything from the first "## History note" or
+    # any section after the raw-JSON fence) — round 4 lost them once
+    preserved = ""
+    if os.path.exists(out_path):
+        old = io.open(out_path, encoding="utf8").read()
+        fence_end = old.find("\n```\n", old.find("Raw JSON:"))
+        if fence_end != -1:
+            preserved = old[fence_end + len("\n```\n"):]
     with io.open(out_path, "w", encoding="utf8") as fh:
         fh.write(md.getvalue())
+        fh.write(preserved)
     print(md.getvalue())
 
 
