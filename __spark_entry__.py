@@ -252,7 +252,11 @@ def kg_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = os.path.join(kg_oracle.EXPORT_DIR, "driver_warehouse")
     shutil.rmtree(wh, ignore_errors=True)
     pages = generate_pages(spark, 200, partitions=8)
-    cold = run_pipeline(spark, pages, wh, partitions=8)
+    # materialize the cold output BEFORE the resumed run: both calls
+    # return scans of the same warehouse path, so without an eager
+    # localCheckpoint the symmetric difference would compare the parquet
+    # directory against itself and could never catch a resume bug
+    cold = run_pipeline(spark, pages, wh, partitions=8).localCheckpoint()
     resumed = run_pipeline(spark, pages, wh, partitions=8)
     n_diff = (resumed.exceptAll(cold).count()
               + cold.exceptAll(resumed).count())

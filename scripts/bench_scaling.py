@@ -166,9 +166,11 @@ def main():
     preserved = ""
     if os.path.exists(out_path):
         old = io.open(out_path, encoding="utf8").read()
-        fence_end = old.find("\n```\n", old.find("Raw JSON:"))
-        if fence_end != -1:
-            preserved = old[fence_end + len("\n```\n"):]
+        raw_at = old.find("Raw JSON:")
+        fence_open = old.find("\n```\n", raw_at)  # opening fence
+        fence_close = old.find("\n```\n", fence_open + 4) if fence_open != -1 else -1
+        if fence_close != -1:
+            preserved = old[fence_close + len("\n```\n"):]
     with io.open(out_path, "w", encoding="utf8") as fh:
         fh.write(md.getvalue())
         fh.write(preserved)

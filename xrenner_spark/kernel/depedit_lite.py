@@ -161,6 +161,23 @@ class _Criterion:
         return m if m is not None else False
 
 
+def _split_outside(text: str, sep: str) -> List[str]:
+    """Split on ``sep`` only outside ``/../`` value borders — the
+    reference masks in-value separators before splitting (depedit.py:
+    30-38 escape(); same toggle-on-every-'/' behavior, quirks and all)."""
+    parts, buf, inside = [], [], False
+    for ch in text:
+        if ch == "/":
+            inside = not inside
+        if ch == sep and not inside:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 class _NodeDef:
     def __init__(self, text: str):
         self.criteria = []
@@ -168,7 +185,7 @@ class _NodeDef:
         # node: only its first matching token registers, and it grants
         # relation dominance (reference depedit.py:187-189, 365-368, 452)
         self.sent_def = text.startswith("#S:")
-        for item in text.split("&"):
+        for item in _split_outside(text, "&"):
             m = re.match(r"([a-z2]+|#S:[A-Za-z_]+)(!?)=/(.*)/$", item)
             if m is None:
                 raise ValueError("depedit_lite: bad node definition %r" % item)
@@ -203,7 +220,9 @@ class _Rule:
                 raise ValueError("depedit_lite line %d: undefined variable"
                                  " {%s}" % (line_num, var))
             node_text = node_text.replace("{" + var + "}", variables[var])
-        self.nodes = [_NodeDef(n) for n in node_text.split(";")]
+        # node defs split on ';' only OUTSIDE /../ values (reference
+        # escape(), depedit.py:30-38 + :103-106)
+        self.nodes = [_NodeDef(n) for n in _split_outside(node_text, ";")]
         rel_text = self._normalize_shorthand(rel_text.strip())
         if rel_text == "none":
             if len(self.nodes) != 1:
@@ -213,6 +232,10 @@ class _Rule:
         else:
             self.relations = [self._parse_relation(r.strip(), line_num)
                               for r in rel_text.split(";")]
+        # the reference normalizes the ACTION column too (depedit.py:101)
+        # — '#1>#2>#3' expands to two attach actions, and the '.*' ->
+        # '.1,1000' replacement applies inside action values (quirk kept)
+        action_text = self._normalize_shorthand(action_text.strip())
         self.actions = [self._parse_action(a.strip(), line_num)
                         for a in action_text.split(";")]
 
@@ -231,13 +254,28 @@ class _Rule:
                 r"\1\2\3;\3\4", text)
         return text
 
+    #: == fields the reference VALIDATOR accepts (depedit.py:167-168);
+    #: the aliased conllu names PASS validation but evaluate through
+    #: ParsedToken.__getattr__ which returns None for them — None ==
+    #: None, so an aliased-field equality is ALWAYS TRUE in the
+    #: reference (load-bearing quirk, mirrored with attr=None here)
+    _EQ_REAL = {"text", "pos", "cpos", "lemma", "morph", "func",
+                "head", "head2", "func2", "num"}
+    _EQ_ALIASED = {"form", "upos", "upostag", "xpos", "xpostag", "feats",
+                   "deprel", "deps", "misc"}
+
     def _parse_relation(self, text: str, line_num: int):
         m = re.match(r"#(\d+):([a-z2]+)==#(\d+)$", text)
         if m is not None:  # field equality (reference depedit.py:389-392)
-            attr = ALIASES.get(m.group(2), m.group(2))
-            if attr not in _ATTRS or attr == "position":
-                raise ValueError("depedit_lite line %d: unsupported equality"
-                                 " field %r" % (line_num, m.group(2)))
+            field = m.group(2)
+            if field in self._EQ_REAL:
+                attr = field
+            elif field in self._EQ_ALIASED:
+                attr = None  # always-equal (reference __getattr__ quirk)
+            else:
+                raise ValueError("depedit_lite line %d: equality field %r "
+                                 "fails the reference validator"
+                                 % (line_num, field))
             a, b = int(m.group(1)), int(m.group(3))
             if not (1 <= a <= len(self.nodes) and 1 <= b <= len(self.nodes)):
                 raise ValueError("depedit_lite line %d: relation node out of"
@@ -270,7 +308,9 @@ class _Rule:
         m = re.match(r"#(\d+):([a-z2]+)=(.*)$", text)
         if m is not None:
             attr = ALIASES.get(m.group(2), m.group(2))
-            if attr not in _ATTRS:
+            # reference action validator (depedit.py:174): position is a
+            # valid CRITERION but not a settable action attribute
+            if attr not in _ATTRS or attr == "position":
                 raise ValueError("depedit_lite line %d: unsupported action"
                                  " attribute %r" % (line_num, m.group(2)))
             return ("set", int(m.group(1)), attr, m.group(3))
@@ -285,6 +325,8 @@ class _Rule:
         if op == ">":
             return int(float(tok_b.head)) == int(tok_a.id)
         if op == "==":
+            if x is None:  # aliased field: reference compares None==None
+                return True
             return getattr(tok_a, x) == getattr(tok_b, x)
         return x <= int(tok_b.id) - int(tok_a.id) <= hi
 
@@ -323,20 +365,33 @@ class _Rule:
             cands[b] = [t for t in cands[b] if t in hit_b]
         if failed:
             return []
-        bins: List[Tuple[dict, List[int]]] = []  # (node->tok, rel ids)
+        # Each bin = (node->tok assignment, rel ids, matcher map).  The
+        # matcher map {node_idx: token-whose-regex-GROUPS-this-bin-uses}
+        # replicates a load-bearing reference quirk: merge_bins MUTATES
+        # the existing bin's matcher list in place (skipping def indexes
+        # already present) and merged bins share it by shallow copy
+        # (depedit.py:608-628), so when several pairs merge through one
+        # bin, every resulting solution takes its $n capture groups from
+        # the FIRST pair merged for that node — not from its own
+        # assigned token.  Verified divergent-then-fixed against the
+        # reference (round-4 review finding #1).
+        bins: List[Tuple[dict, List[int], dict]] = []
         for ridx, a, b, tok_a, tok_b in sets:
             nodes_s = {a: tok_a, b: tok_b}
-            for nodes_b, rels_b in list(bins):
+            for nodes_b, rels_b, match_b in list(bins):
                 shared_equal = any(k in nodes_b and nodes_b[k] is v
                                    for k, v in nodes_s.items())
                 missing = [k for k in nodes_s if k not in nodes_b]
                 if shared_equal and missing:
+                    for k, v in nodes_s.items():  # in-place, skip present
+                        if k not in match_b:
+                            match_b[k] = v
                     merged = dict(nodes_b)
                     merged[missing[0]] = nodes_s[missing[0]]
-                    bins.append((merged, rels_b + [ridx]))
-            bins.append((nodes_s, [ridx]))
+                    bins.append((merged, rels_b + [ridx], match_b))
+            bins.append((nodes_s, [ridx], dict(nodes_s)))
         solutions, seen = [], set()
-        for nodes_b, rels_b in bins:
+        for nodes_b, rels_b, match_b in bins:
             if len(nodes_b) != n_nodes:
                 continue
             rels = set(rels_b)
@@ -350,7 +405,7 @@ class _Rule:
             key = tuple(id(nodes_b[i]) for i in range(1, n_nodes + 1))
             if key not in seen:
                 seen.add(key)
-                solutions.append(nodes_b)
+                solutions.append((nodes_b, match_b))
         return solutions
 
     def apply(self, tokens: List[_Tok]) -> bool:
@@ -377,10 +432,14 @@ class _Rule:
         if self.relations is None:
             results = [((tok,), groups) for tok, groups in per_node[0]]
         else:
-            for nodes_b in self._solve(per_node):
+            for nodes_b, match_b in self._solve(per_node):
                 toks = tuple(nodes_b[i + 1] for i in range(len(self.nodes)))
-                groups = [g for i, tok in enumerate(toks)
-                          for g in groups_of[i][id(tok)]]
+                # $n groups come from the bin's MATCHER map, which (via
+                # the reference's shared-mutation quirk) may name a
+                # different token than the assignment for merged nodes
+                groups = [g for i in range(len(self.nodes))
+                          for g in groups_of[i][
+                              id(match_b.get(i + 1, toks[i]))]]
                 results.append((toks, groups))
         if not results:
             return False
