@@ -232,6 +232,11 @@ class _Rule:
         else:
             self.relations = [self._parse_relation(r.strip(), line_num)
                               for r in rel_text.split(";")]
+            # raw per-relation text: the reference books fulfilled
+            # relations by STRING, so a config repeating the same
+            # relation literally (e.g. "#1.#2;#1.#2") can never be
+            # satisfied there — a quirk _solve mirrors
+            self.relation_strings = [r.strip() for r in rel_text.split(";")]
         # the reference normalizes the ACTION column too (depedit.py:101)
         # — '#1>#2>#3' expands to two attach actions, and the '.*' ->
         # '.1,1000' replacement applies inside action values (quirk kept)
@@ -345,6 +350,7 @@ class _Rule:
         sets: List[Tuple[int, int, int, _Tok, _Tok]] = []
         failed = False
         for ridx, rel in enumerate(self.relations):
+            rel_s = self.relation_strings[ridx]
             a, b = rel[0], rel[4]
             # a sentence-annotation node as the LEFT operand dominates:
             # the relation always holds (reference depedit.py:452 checks
@@ -354,7 +360,7 @@ class _Rule:
             for tok_a in cands[a]:
                 for tok_b in cands[b]:
                     if dominate or self._rel_holds(rel, tok_a, tok_b):
-                        sets.append((ridx, a, b, tok_a, tok_b))
+                        sets.append((rel_s, a, b, tok_a, tok_b))
                         hit_a.append(tok_a)
                         hit_b.append(tok_b)
             if not hit_a:
@@ -375,8 +381,8 @@ class _Rule:
         # the FIRST pair merged for that node — not from its own
         # assigned token.  Verified divergent-then-fixed against the
         # reference (round-4 review finding #1).
-        bins: List[Tuple[dict, List[int], dict]] = []
-        for ridx, a, b, tok_a, tok_b in sets:
+        bins: List[Tuple[dict, List[str], dict]] = []
+        for rel_s, a, b, tok_a, tok_b in sets:
             nodes_s = {a: tok_a, b: tok_b}
             for nodes_b, rels_b, match_b in list(bins):
                 shared_equal = any(k in nodes_b and nodes_b[k] is v
@@ -388,18 +394,21 @@ class _Rule:
                             match_b[k] = v
                     merged = dict(nodes_b)
                     merged[missing[0]] = nodes_s[missing[0]]
-                    bins.append((merged, rels_b + [ridx], match_b))
-            bins.append((nodes_s, [ridx], dict(nodes_s)))
+                    bins.append((merged, rels_b + [rel_s], match_b))
+            bins.append((nodes_s, [rel_s], dict(nodes_s)))
         solutions, seen = [], set()
         for nodes_b, rels_b, match_b in bins:
             if len(nodes_b) != n_nodes:
                 continue
-            rels = set(rels_b)
+            # relations are booked by raw STRING like the reference's
+            # rels lists (merge_sets): a literally-duplicated relation
+            # can never reach rel_count, so such rules are no-ops there
+            rels = list(rels_b)
             if len(rels) < n_rels:
-                for ridx, a, b, tok_a, tok_b in sets:
-                    if (ridx not in rels and nodes_b.get(a) is tok_a
+                for rel_s, a, b, tok_a, tok_b in sets:
+                    if (rel_s not in rels and nodes_b.get(a) is tok_a
                             and nodes_b.get(b) is tok_b):
-                        rels.add(ridx)
+                        rels.append(rel_s)
             if len(rels) != n_rels:
                 continue
             key = tuple(id(nodes_b[i]) for i in range(1, n_nodes + 1))
