@@ -278,46 +278,36 @@ def child_info_sql(tokens: DataFrame) -> DataFrame:
 
 
 def descendants_closure_sql(tokens: DataFrame, max_depth: int = 12) -> DataFrame:
-    """Transitive closure of the dependency child relation via iterative
-    frontier self-join (the SQL analogue of reference
-    xrenner_classes.py:305-320; SURVEY.md §2.7).
+    """Transitive closure of the dependency child relation as ONE
+    declarative ``WITH RECURSIVE`` query (the SQL analogue of reference
+    xrenner_classes.py:305-320; SURVEY.md §2.7) — Spark 4.1's native
+    recursive CTE executes the fixpoint inside the engine (UnionLoop),
+    replacing the round-3 driver-paced frontier loop and its per-level
+    persist/isEmpty probes entirely.
 
-    Dependency edges form a FOREST (one parent per node), so the path
-    between any (ancestor, descendant) pair is unique and each pair is
-    discovered at exactly one depth: no ``exceptAll``/``distinct`` is
-    needed — the closure is the plain union of the per-depth frontiers,
-    and each level costs one co-keyed join over a strictly SHRINKING
-    frontier plus one cheap isEmpty convergence probe on its persisted
-    result.  The driver-paced loop is inherent to iterative closure on
-    Spark (bounded by ``max_depth``, i.e. tree depth — ~12 for natural-
-    language parses regardless of corpus size, so the round count does
-    not grow with data).  The production path remains the kernel's
+    Dependency edges form a FOREST (one parent per node), so every
+    (ancestor, descendant) pair is derived along exactly one path and
+    UNION ALL never duplicates — no distinct needed.  Iteration count
+    is bounded by tree depth (~12 for natural-language parses), not by
+    corpus size; ``max_depth`` caps the recursion as a safety net
+    against cyclic input.  The production path remains the kernel's
     per-document in-memory closure; this operator exists for SQL-side
     tree analytics and is oracle-checked against a DuckDB
     WITH RECURSIVE twin."""
-    edges = (tokens.filter(F.col("head") > 0)
-             .select("url", F.col("head").alias("ancestor"),
-                     F.col("tid").alias("descendant"))).persist()
-    levels = [edges]
-    frontier = edges
-    for _depth in range(max_depth):
-        stepped = (frontier.alias("f")
-                   .join(edges.alias("e"),
-                         (F.col("f.url") == F.col("e.url"))
-                         & (F.col("f.descendant") == F.col("e.ancestor")))
-                   .select(F.col("f.url").alias("url"),
-                           F.col("f.ancestor").alias("ancestor"),
-                           F.col("e.descendant").alias("descendant"))
-                   .persist())
-        if stepped.isEmpty():
-            stepped.unpersist()
-            break
-        levels.append(stepped)   # stays persisted: feeds the final union
-        frontier = stepped
-    closure = levels[0]
-    for lvl in levels[1:]:
-        closure = closure.unionAll(lvl)
-    return closure
+    spark = tokens.sparkSession
+    tokens.createOrReplaceTempView("_descendants_tokens")
+    return spark.sql("""
+        WITH RECURSIVE closure(url, ancestor, descendant)
+        MAX RECURSION LEVEL {max_level} AS (
+            SELECT url, head AS ancestor, tid AS descendant
+            FROM _descendants_tokens WHERE head > 0
+            UNION ALL
+            SELECT c.url, c.ancestor, e.tid AS descendant
+            FROM closure c JOIN _descendants_tokens e
+              ON c.url = e.url AND c.descendant = e.head
+        )
+        SELECT url, ancestor, descendant FROM closure
+    """.format(max_level=max_depth + 1))
 
 
 # ---------------------------------------------------------------------
