@@ -10,10 +10,16 @@ parenthood, == on real AND aliased fields) incl. ;-chains and the
 #1>#2>#3 shorthand, #S: sentence-annotation nodes/actions, set actions
 with $n groups, head reattachment, and `last`.
 
-Deterministic per seed.  Usage: python scripts/fuzz_depedit.py [n] [seed]
+Deterministic per seed.
+Usage: python scripts/fuzz_depedit.py [n] [seed] [--fixture]
+  --fixture also writes the first 40 rule-changed cases (with the
+  REFERENCE's outputs) to tests/fixtures/depedit_fuzz.json so pytest
+  re-pins them without needing the reference at test time.
 """
 
 import io
+import json
+import os
 import random
 import sys
 import warnings
@@ -172,10 +178,13 @@ def main():
         kill = "supertoks"
         quiet = True
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 40400
+    args = [a for a in sys.argv[1:] if a != "--fixture"]
+    write_fixture = "--fixture" in sys.argv
+    n = int(args[0]) if len(args) > 0 else 500
+    seed = int(args[1]) if len(args) > 1 else 40400
     rng = random.Random(seed)
     n_changed = n_loadfail = 0
+    fixture_cases = {}
     for trial in range(n):
         variables = {}
         lines = []
@@ -204,8 +213,18 @@ def main():
             raise SystemExit(1)
         if ref.strip() != doc.strip():
             n_changed += 1
+            if write_fixture and len(fixture_cases) < 40:
+                fixture_cases["fuzz_s%d_t%d" % (seed, trial)] = {
+                    "ini": ini, "input": doc, "output": ref}
     print("fuzz: %d trials, %d changed-by-rules, %d load-rejected, "
           "0 divergent (seed=%d)" % (n, n_changed, n_loadfail, seed))
+    if write_fixture:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "fixtures",
+            "depedit_fuzz.json")
+        with io.open(path, "w", encoding="utf8") as fh:
+            json.dump(fixture_cases, fh, indent=1, ensure_ascii=False)
+        print("wrote %d fixture cases -> %s" % (len(fixture_cases), path))
 
 
 if __name__ == "__main__":
