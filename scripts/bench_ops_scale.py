@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scale points for the dedup/ANN operators beyond the sf0.1 tables
+(2k vectors / 5k docs are toy sizes for operators whose whole design
+argument is web-scale behavior).
+
+Synthesizes SCALED inputs deterministically JVM-side (no Python RNG,
+no driver loops): an embeddings table of N unit-ish vectors via
+hash-derived pseudo-randoms, and a documents table by tiling the sf0.1
+corpus text with per-copy doc_ids (so near-duplicate structure is
+preserved — every source doc yields K near-identical copies, which is
+exactly the regime MinHash/LSH must handle).  Writes them as a
+temporary sf_dir and runs the unmodified operator queries against it:
+
+  ann_lsh_bucket      (hyperplane-bucketed top-k)
+  ann_topk_bruteforce SKIPPED at scale (bounded crossJoin baseline —
+                      quadratic by design, the documented small-sf twin)
+  dedup_minhash_lsh   (banded signatures, bucket join)
+  dedup_exact         (md5 groupBy)
+  dedup_simhash_pairs (pigeonhole banding + popcount verify)
+
+Reports wall seconds + output rows per operator plus a 32-proc md5
+canary before each. Usage: python scripts/bench_ops_scale.py [n_vecs]
+[doc_mult] [reps]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.bench_1m import canary  # noqa: E402
+
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DIM = 64
+
+
+def synthesize(spark, out_dir, n_vecs, doc_mult):
+    from pyspark.sql import functions as F
+
+    # embeddings: per-(vec_id, dim) hash -> uniform(-1, 1); fully
+    # deterministic, generated distributed, no Python in the loop
+    emb = (spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+           .select("vec_id",
+                   F.expr(
+                       "transform(sequence(0, %d), d -> "
+                       " CAST(pmod(hash(vec_id * 131 + d), 20001) - 10000 "
+                       "      AS FLOAT) / 10000.0)" % (DIM - 1)
+                   ).alias("embedding"),
+                   F.pmod(F.hash("vec_id"), F.lit(16)).cast("int")
+                   .alias("label"))
+           .repartition(max(CORES, 8)))
+    emb.write.mode("overwrite").parquet(out_dir + "/embeddings.parquet")
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    copies = spark.range(doc_mult).withColumnRenamed("id", "copy")
+    scaled = (docs.crossJoin(copies)
+              .select((F.col("doc_id") * doc_mult + F.col("copy"))
+                      .alias("doc_id"),
+                      "text", "lang", "source", "n_chars")
+              .repartition(max(CORES, 8)))
+    scaled.write.mode("overwrite").parquet(out_dir + "/documents.parquet")
+
+
+def main():
+    from xrenner_spark.operators import dedup, similarity
+    from xrenner_spark.session import get_spark
+
+    n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    doc_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 100  # 500k docs
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    spark = get_spark("ops-scale", cores=CORES,
+                      shuffle_partitions=max(32, CORES))
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="xops_scale_")
+    t0 = time.perf_counter()
+    synthesize(spark, out_dir, n_vecs, doc_mult)
+    t_synth = round(time.perf_counter() - t0, 2)
+
+    ops = {
+        "ann_lsh_bucket": similarity.ann_lsh_bucket,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+    }
+    results = {}
+    for name, fn in ops.items():
+        walls, rows = [], None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            c = canary()
+            t0 = time.perf_counter()
+            df = fn(spark, out_dir)
+            df.write.mode("overwrite").format("noop").save()
+            walls.append(round(time.perf_counter() - t0, 2))
+            if rows is None:
+                rows = fn(spark, out_dir).count()
+        results[name] = {"wall_s": min(walls), "walls": walls,
+                         "canary_s": c, "rows": rows}
+        print(json.dumps({name: results[name]}))
+    print(json.dumps({"n_vecs": n_vecs, "n_docs_mult": doc_mult,
+                      "synth_s": t_synth, "cores": CORES,
+                      "results": results}))
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

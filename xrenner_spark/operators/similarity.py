@@ -30,15 +30,19 @@ N_QUERIES = 10
 TOP_K = 3
 EMB_DIM = 64          # embeddings.parquet vector width (all sf dirs)
 N_TABLES = 12         # OR-combined hash tables
-N_BITS = 5            # hyperplanes (bucket bits) per table
-MAX_BUCKET = 128      # skip over-full buckets: bounds worst-case join fan-out
-                      # at N_TABLES * n_buckets * MAX_BUCKET^2 candidate pairs
+N_BITS = 5            # BASE hyperplanes (bucket bits) per table
+MAX_BITS = 16         # adaptive-bits ceiling (65k buckets/table)
+TARGET_BUCKET = 64    # expected bucket occupancy the bit count aims for
+MAX_BUCKET = 128      # skip over-full buckets: bounds worst-case group
+                      # work at MAX_BUCKET^2 scored pairs per bucket
 
 # (N_TABLES=12, N_BITS=5) measures 0.83 top-3 recall vs the brute-force
 # oracle on the sf0.1 embeddings (2k vectors; ~N/2^5 ≈ 62-vector buckets).
-# At production N, N_BITS scales as log2(N / target_bucket_size) so bucket
-# occupancy — and with it per-query candidate work — stays constant; the
-# recall knob is N_TABLES.
+# At production N the bit count ADAPTS as log2(N / TARGET_BUCKET)
+# (_n_bits below) so bucket occupancy — and with it per-query candidate
+# work — stays constant; the recall knob is N_TABLES.  Every test sf
+# (200 / 2,000 vectors) lands on the base 5 bits, so the static DuckDB
+# oracle and the measured recall are unaffected by adaptivity.
 
 
 def _rademacher(table: int, bit: int) -> list:
@@ -51,7 +55,16 @@ def _rademacher(table: int, bit: int) -> list:
     return out
 
 
-HYPERPLANES = [[_rademacher(t, b) for b in range(N_BITS)] for t in range(N_TABLES)]
+HYPERPLANES = [[_rademacher(t, b) for b in range(MAX_BITS)]
+               for t in range(N_TABLES)]
+
+
+def _n_bits(n_vecs: int) -> int:
+    """Bucket bits for a given corpus size: N/2^bits ≈ TARGET_BUCKET."""
+    import math
+    need = math.ceil(math.log2(max(n_vecs, 1) / TARGET_BUCKET)) \
+        if n_vecs > TARGET_BUCKET else 0
+    return max(N_BITS, min(MAX_BITS, need))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,77 +123,163 @@ ANN_TOPK_SQL = """
 """.format(nq=N_QUERIES, k=TOP_K)
 
 
-def _all_buckets_expr():
-    """Spark column: array of N_TABLES bucket ids (one per hash table) for
-    the row's vector ``q``.  The whole hyperplane bank is ONE 3-D literal
-    (constant-folded by Catalyst, zero generated code) and the projection
-    loops are higher-order functions (interpreted lambdas) — per-bit
-    inline-literal expressions cost ~11 s of janino compilation on first
-    run (measured), dwarfing the 3 s execution."""
-    hp = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(
-            "array(%s)" % ", ".join(str(c) for c in HYPERPLANES[t][b])
-            for b in range(N_BITS))
-        for t in range(N_TABLES))
-    return F.expr(
-        "transform(sequence(0, {L} - 1), t -> "
-        "  aggregate(sequence(0, {B} - 1), 0L, (acc, b) -> "
-        "    acc + (CASE WHEN aggregate(zip_with(q, {hp}[t][b], "
-        "                               (x, c) -> x * c), 0L, "
-        "                               (a, v) -> a + v) >= 0 "
-        "           THEN shiftleft(1L, b) ELSE 0L END)))".format(
-            L=N_TABLES, B=N_BITS, hp=hp))
+def _bucketed(vecs: DataFrame, n_bits: int) -> DataFrame:
+    """(vec_id, q) -> (vec_id, q, table_id, bucket): all N_TABLES bucket
+    ids per vector via ONE Arrow-batched numpy position (a k x 64 int64
+    GEMM against the 64 x (T*bits) hyperplane bank), then a JVM-side
+    posexplode into per-table rows.
+
+    Execution-strategy lesson (round 4, measured at 1M vectors):
+    * the round-2 constant-folded higher-order-function formulation ran
+      the projections through INTERPRETED lambdas -- O(N*T*bits*64)
+      interpreted steps, >33 min at 1M vectors (fine at 2k, where it
+      was chosen to dodge the ~11 s janino cost of inline literals);
+    * inlining the +-1 signed sums as flat SQL (~10k CASE addends)
+      drives janino past its compile cliff exactly like the 500-tree
+      GBT (BENCH/BASELINE.md model-size boundary);
+    * the Arrow GEMM computes the identical integers in seconds and is
+      size-indifferent -- the same compiled-vs-runtime boundary call as
+      operators/ml_score.py, landing on the runtime side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bank = np.array([[HYPERPLANES[t][b] for b in range(n_bits)]
+                     for t in range(N_TABLES)],
+                    dtype=np.int64).reshape(N_TABLES * n_bits, EMB_DIM).T
+    powers = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("q", T.ArrayType(T.LongType())),
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+    ])
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["q"].tolist(), dtype=np.int64)
+            bits = (M @ bank >= 0).astype(np.int64)
+            buckets = bits.reshape(len(pdf), N_TABLES, n_bits) @ powers
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values,
+                                "q": pdf["q"].values,
+                                "buckets": list(buckets)})
+
+    return (vecs.select("vec_id", "q").mapInPandas(run, schema=schema)
+            .select("vec_id", "q", F.posexplode("buckets"))
+            .withColumnRenamed("pos", "table_id")
+            .withColumnRenamed("col", "bucket"))
+
+
+def _score_buckets(bucketed: DataFrame, with_norms: bool = False) -> DataFrame:
+    """Per-(table, bucket) exact pair scoring: one int64 GEMM per group
+    (k x k from k x 64), emitting the strict upper triangle
+    (vec_a < vec_b, each unordered pair once per table).  The size
+    gates live inside the group function: singleton groups emit nothing
+    and groups over MAX_BUCKET are dropped whole -- identical semantics
+    to the former collect_list + size filter, but nothing materializes
+    JVM-side and a mega-bucket costs only its Arrow transfer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [T.StructField("vec_a", T.LongType()),
+              T.StructField("vec_b", T.LongType()),
+              T.StructField("score", T.LongType())]
+    if with_norms:
+        fields += [T.StructField("na2", T.LongType()),
+                   T.StructField("nb2", T.LongType())]
+    schema = T.StructType(fields)
+    cols = [f.name for f in fields]
+
+    def run(pdf):
+        k = len(pdf)
+        if k < 2 or k > MAX_BUCKET:
+            return pd.DataFrame({c: [] for c in cols})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["q"].tolist(), dtype=np.int64)
+        S = M @ M.T
+        i, j = np.triu_indices(k, 1)
+        out = {"vec_a": ids[i], "vec_b": ids[j], "score": S[i, j]}
+        if with_norms:
+            d = np.diagonal(S)
+            out["na2"] = d[i]
+            out["nb2"] = d[j]
+        return pd.DataFrame(out)
+
+    return bucketed.groupBy("table_id", "bucket").applyInPandas(run, schema)
+
+
+def _score_buckets_topk(bucketed: DataFrame, top_k: int) -> DataFrame:
+    """Per-(table, bucket) DIRECTED local top-k edges (query_id,
+    neighbor_id, score) via one int64 Gram GEMM per group.
+
+    Emitting each member's bucket-LOCAL top-k instead of the full pair
+    triangle is EXACT for global top-k: if neighbor n belongs to query
+    q's global candidate top-k and they share bucket B, then fewer than
+    top_k vectors in B outrank n for q (each would itself be a global
+    candidate above n) — so n is inside q's B-local top-k.  The union
+    of local top-ks therefore contains every global winner, while the
+    downstream shuffle shrinks from O(bucket^2 / 2) to O(bucket * k)
+    rows per group (~5x at 64-member buckets, measured the difference
+    between a 1M-vector run completing in minutes and not completing
+    at all).  Ties break by ascending neighbor id, same as the final
+    window: rows arrive id-sorted, so a STABLE argsort of the negated
+    scores preserves that order within equal scores."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("query_id", T.LongType()),
+                           T.StructField("neighbor_id", T.LongType()),
+                           T.StructField("score", T.LongType())])
+
+    def run(pdf):
+        k = len(pdf)
+        if k < 2 or k > MAX_BUCKET:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "score": []})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["q"].tolist(), dtype=np.int64)
+        S = M @ M.T
+        np.fill_diagonal(S, -(2 ** 62))  # self never wins
+        order = np.argsort(-S, axis=1, kind="stable")[:, :min(top_k, k - 1)]
+        n_loc = order.shape[1]
+        qi = np.repeat(ids, n_loc)
+        ni = ids[order].ravel()
+        sc = np.take_along_axis(S, order, axis=1).ravel()
+        return pd.DataFrame({"query_id": qi, "neighbor_id": ni, "score": sc})
+
+    return bucketed.groupBy("table_id", "bucket").applyInPandas(run, schema)
 
 
 def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: per-vector top-k over LSH candidates.
 
-    Three shuffles total.  One pass computes all N_TABLES bucket ids per
-    vector (explode, vectors carried along); ONE shuffle groups members
-    per (table, bucket), where the size cap drops over-full buckets;
-    unordered candidate pairs (a < b: each pair generated/scored once)
-    are expanded and exact-scored map-side, bounded by MAX_BUCKET^2 per
-    group; a pair-keyed groupBy dedupes across the OR-tables; mirroring
-    both directions and the per-query-vector window rank the final
-    top-k.  Carrying the (small, fixed-width) vectors through the bucket
-    shuffle costs N_TABLES array copies per row but saves the two
-    vec_id-keyed scoring joins a pairs-then-lookup plan would shuffle —
-    at 10^12 rows the join sides dwarf the signature fan-out."""
+    Three shuffles total.  One Arrow position computes all N_TABLES
+    bucket ids per vector (JVM posexplode, vectors carried along); ONE
+    shuffle groups members per (table, bucket) into the Arrow pair
+    scorer (size caps inside the group function); a pair-keyed groupBy
+    dedupes across the OR-tables; mirroring both directions and the
+    per-query-vector window rank the final top-k.  Bucket bits adapt to
+    the corpus size (one count pre-job) so occupancy stays near
+    TARGET_BUCKET at any N.  Carrying the (small, fixed-width) vectors
+    through the bucket shuffle costs N_TABLES array copies per row but
+    saves the two vec_id-keyed scoring joins a pairs-then-lookup plan
+    would shuffle -- at 10^12 rows the join sides dwarf the signature
+    fan-out."""
     vecs = _quantized(spark, sf_dir)
-    sig = (vecs.select("vec_id", "q",
-                       F.posexplode(_all_buckets_expr()))
-           .withColumnRenamed("pos", "table_id")
-           .withColumnRenamed("col", "bucket"))
-    grouped = (sig.groupBy("table_id", "bucket")
-               .agg(F.collect_list(F.struct("vec_id", "q")).alias("members"))
-               .filter((F.size("members") >= 2)
-                       & (F.size("members") <= MAX_BUCKET)))
-    # pair expansion + scoring inside ONE nested higher-order expression:
-    # a two-explode formulation would copy the whole member array into
-    # every exploded row (measured: the dominant cost at 62-member
-    # buckets); this touches the same k^2/2 pairs without materializing
-    # any array copies
-    def _pair(a, b):
-        dot = F.aggregate(F.zip_with(a["q"], b["q"], lambda x, y: x * y),
-                          F.lit(0).cast("long"), lambda acc, v: acc + v)
-        return F.struct(a["vec_id"].alias("vec_a"),
-                        b["vec_id"].alias("vec_b"), dot.alias("score"))
-
-    pairs = (grouped.select(F.explode(F.flatten(F.transform(
-                 "members", lambda a: F.transform(
-                     F.filter("members", lambda b: a["vec_id"] < b["vec_id"]),
-                     lambda b: _pair(a, b))))).alias("p"))
-             .select("p.vec_a", "p.vec_b", "p.score"))
-    uniq = pairs.groupBy("vec_a", "vec_b").agg(F.min("score").alias("score"))
-    directed = (uniq.select(F.explode(F.array(
-        F.struct(F.col("vec_a").alias("query_id"),
-                 F.col("vec_b").alias("neighbor_id"), "score"),
-        F.struct(F.col("vec_b").alias("query_id"),
-                 F.col("vec_a").alias("neighbor_id"), "score"))).alias("p"))
-        .select("p.query_id", "p.neighbor_id", "p.score"))
+    n_bits = _n_bits(vecs.count())
+    directed = _score_buckets_topk(_bucketed(vecs, n_bits), TOP_K)
+    # the same (query, neighbor) edge surfaces from every shared table
+    # with an identical exact score: one pair-keyed dedupe
+    uniq = (directed.groupBy("query_id", "neighbor_id")
+            .agg(F.min("score").alias("score")))
     win = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
-    return (directed.withColumn("rank", F.row_number().over(win))
+    return (uniq.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "score",
                     F.col("rank").cast("long").alias("rank")))
@@ -252,35 +351,17 @@ COS_T2_NUM, COS_T2_DEN = 16, 100  # tau = 0.4: cos >= tau <=> den*dot^2 >= num*|
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= 0.4, restricted to the
-    random-hyperplane LSH candidate pairs (same tables/cap as
-    ann_lsh_bucket — at 10^12 rows the all-pairs test is quadratic).
+    random-hyperplane LSH candidate pairs (same tables/cap/adaptive bits
+    as ann_lsh_bucket -- at 10^12 rows the all-pairs test is quadratic).
     The test stays in exact int64 arithmetic: vectors are unit-norm, so
     with round(x*1000) quantization den*dot^2 <= 1e14 and
-    num*|a|^2*|b|^2 <= 1.6e13 both fit comfortably."""
-    vecs = _quantized(spark, sf_dir).withColumn("n2", _dot("q", "q"))
-    sig = (vecs.select("vec_id", "q", "n2",
-                       F.posexplode(_all_buckets_expr()))
-           .withColumnRenamed("pos", "table_id")
-           .withColumnRenamed("col", "bucket"))
-    grouped = (sig.groupBy("table_id", "bucket")
-               .agg(F.collect_list(F.struct("vec_id", "q", "n2")).alias("members"))
-               .filter((F.size("members") >= 2)
-                       & (F.size("members") <= MAX_BUCKET)))
-
-    def _pair(a, b):
-        dot = F.aggregate(F.zip_with(a["q"], b["q"], lambda x, y: x * y),
-                          F.lit(0).cast("long"), lambda acc, v: acc + v)
-        return F.struct(a["vec_id"].alias("vec_a"),
-                        b["vec_id"].alias("vec_b"), dot.alias("dot"),
-                        a["n2"].alias("na2"), b["n2"].alias("nb2"))
-
-    pairs = (grouped.select(F.explode(F.flatten(F.transform(
-                 "members", lambda a: F.transform(
-                     F.filter("members", lambda b: a["vec_id"] < b["vec_id"]),
-                     lambda b: _pair(a, b))))).alias("p"))
-             .select("p.vec_a", "p.vec_b", "p.dot", "p.na2", "p.nb2"))
+    num*|a|^2*|b|^2 <= 1.6e13 both fit comfortably.  Norms come free as
+    the Gram-matrix diagonal inside the shared Arrow bucket scorer."""
+    vecs = _quantized(spark, sf_dir)
+    n_bits = _n_bits(vecs.count())
+    pairs = _score_buckets(_bucketed(vecs, n_bits), with_norms=True)
     return (pairs.groupBy("vec_a", "vec_b")
-            .agg(F.min("dot").alias("dot"),
+            .agg(F.min("score").alias("dot"),
                  F.min("na2").alias("na2"), F.min("nb2").alias("nb2"))
             .filter((F.col("dot") > 0)
                     & (F.col("dot") * F.col("dot") * COS_T2_DEN
