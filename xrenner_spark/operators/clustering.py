@@ -16,7 +16,7 @@ iterative job, fully deterministic and oracle-checkable:
 
 Scale shape per iteration: assignment is a pure map against a
 broadcast-literal centroid bank (K x DIM ints folded into ONE constant
-expression — the similarity._all_buckets_expr lesson: per-element
+expression — the round-2 literal-bank lesson: per-element
 literals cost thousands of py4j round trips and janino seconds);
 the update is posexplode -> groupBy(cluster, dim) with map-side partial
 aggregation, so the shuffle carries ~K*DIM rows per partition, not the
