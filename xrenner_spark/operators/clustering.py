@@ -14,16 +14,17 @@ iterative job, fully deterministic and oracle-checkable:
   half away from zero — the recipe every quantized oracle here uses);
 * empty clusters keep their previous centroid (both engines).
 
-Scale shape per iteration: assignment is a pure map against a
-broadcast-literal centroid bank (K x DIM ints folded into ONE constant
-expression — the round-2 literal-bank lesson: per-element
-literals cost thousands of py4j round trips and janino seconds);
+Scale shape per iteration: assignment is a pure Arrow/numpy map
+against the closure-shipped centroid bank (r4: the former
+constant-folded literal-bank HOF executed interpreted per row —
+minutes per pass at 1M vectors; the GEMM computes identical ints);
 the update is posexplode -> groupBy(cluster, dim) with map-side partial
 aggregation, so the shuffle carries ~K*DIM rows per partition, not the
 data.  Centroids (K*DIM ints, model state) are collected to the driver
 between iterations — AQE-statistics-scale, like every Lloyd
 implementation; the DATA never leaves executors and lineage resets
-through the literal bank each round, so no checkpoint dance is needed
+through each round's fresh assignment closure over the cached input,
+so no checkpoint dance is needed
 (the dedup_cluster_assign iterative-loop lesson does not bite here).
 
 The DuckDB oracle recomputes all ``ITERS`` iterations as an unrolled
@@ -40,18 +41,40 @@ ITERS = 3
 EMB_DIM = 64
 
 
-def _assign_expr(cents) -> "F.Column":
-    """cluster = argmin_i sum_d (q[d] - cents[i][d])^2, ties to lowest i.
-    One constant-folded 2-D literal + higher-order-function fold."""
-    bank = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(str(int(c)) for c in row) for row in cents)
-    # struct ordering is lexicographic (distance, then centroid id), so
-    # array_min IS the tie-broken argmin, with each distance computed once
-    return F.expr(
-        "array_min(transform(sequence(0, {K} - 1), i -> named_struct("
-        "  'd', aggregate(zip_with(q, {bank}[i], (x, c) -> (x - c) * (x - c)), "
-        "                 0L, (a, v) -> a + v), "
-        "  'i', i))).i".format(K=len(cents), bank=bank))
+def _assign(vecs: DataFrame, cents, labels=None) -> DataFrame:
+    """(vec_id, q) -> (vec_id, q, cluster): exact int64
+    argmin_i sum_d (q[d] - cents[i][d])^2 with ties to the lowest index,
+    as one Arrow/numpy GEMM position (argmin of |c|^2 - 2 x.c; |x|^2 is
+    row-constant).  Replaces the round-3 constant-folded literal-bank
+    HOF: that expression executes INTERPRETED per row — O(N*K*DIM)
+    lambda steps, minutes per Lloyd pass at 1M vectors (the same
+    round-4 lesson as similarity._bucketed).  ``labels`` optionally
+    maps positional indices to output ids (the seed-id translation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.array([list(c) for c in cents], dtype=np.int64)
+    c_norm = (C * C).sum(axis=1)
+    lab = np.array(labels if labels is not None else range(len(cents)),
+                   dtype=np.int64)
+    schema = T.StructType([T.StructField("vec_id", T.LongType()),
+                           T.StructField("q", T.ArrayType(T.LongType())),
+                           T.StructField("cluster", T.LongType())])
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["q"].tolist(), dtype=np.int64)
+            # np.argmin returns the FIRST minimum -> lowest index wins,
+            # exactly the old array_min(struct(d, i)) tie-break
+            best = np.argmin(c_norm[None, :] - 2 * (M @ C.T), axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values,
+                                "q": pdf["q"].values,
+                                "cluster": lab[best]})
+
+    return vecs.select("vec_id", "q").mapInPandas(run, schema=schema)
 
 
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +95,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(ITERS):
         # positional index is fine INSIDE the loop (cents is positional);
         # only the returned labels translate to seed ids
-        assigned = vecs.withColumn("cluster", _assign_expr(cents))
+        assigned = _assign(vecs, cents)
         sums = (assigned
                 .select("cluster", F.posexplode("q").alias("dim", "val"))
                 .groupBy("cluster", "dim")
@@ -90,10 +113,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else -int(-avg + 0.5)
         cents = new_cents
 
-    seed_bank = F.array(*[F.lit(s).cast("long") for s in seed_ids])
-    out = (vecs.withColumn("i", _assign_expr(cents))
-           .select("vec_id",
-                   F.element_at(seed_bank, F.col("i") + 1).alias("cluster")))
+    out = _assign(vecs, cents, labels=seed_ids).select("vec_id", "cluster")
     # vecs stays cached for the session (same pattern as the kg kernel
     # cache): unpersisting here would force the returned lazy DataFrame
     # to recompute the scan+shuffle when the caller finally evaluates it

@@ -436,6 +436,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scattered), so recall tracks the searched fraction; on a corpus
     with real cluster structure the same plan concentrates recall into
     few cells.  Default nprobe=5 (test_operators enforces >= 0.8)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = (spark.read.parquet(sf_dir + "/embeddings.parquet")
            .repartition(spark.sparkContext.defaultParallelism, "vec_id"))
     qcol = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
@@ -446,18 +450,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("r", F.row_number().over(cent_win))
              .filter(F.col("r") == 1)
              .select(F.col("label").alias("cent_id"), F.col("q").alias("cv")))
-    # cell assignment: argmin centroid by int squared-Euclidean distance
-    # (a raw dot product favors long centroids and degenerates the cells)
+    # the quantizer is MODEL STATE (a handful of centroids): collect it
+    # once and broadcast the numpy bank inside the assignment closure —
+    # the round-4 scale lesson applies here too: the former
+    # crossJoin(broadcast) + interpreted zip_with distance + per-vec_id
+    # window was O(N*K*64) interpreted steps plus an N-partition window
+    # (minutes at 1M vectors); the Arrow GEMM assigns in one pass
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+    c_norm = (C * C).sum(axis=1)  # |c|^2; |x|^2 is row-constant in argmin
+
+    a_schema = T.StructType([T.StructField("vec_id", T.LongType()),
+                             T.StructField("q", T.ArrayType(T.LongType())),
+                             T.StructField("cent_id", T.IntegerType())])
+
+    def assign(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["q"].tolist(), dtype=np.int64)
+            # argmin_c |x-c|^2 == argmin_c (|c|^2 - 2 x.c); exact int64.
+            # cent_ids ascend, so argmin's first-minimum tie-break IS the
+            # lowest cent_id — same order the old window used
+            d = c_norm[None, :] - 2 * (M @ C.T)
+            best = np.argmin(d, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values,
+                                "q": pdf["q"].values,
+                                "cent_id": cent_ids[best].astype(np.int32)})
+
+    assigned = vecs.select("vec_id", "q").mapInPandas(assign, schema=a_schema)
+    # query probes: top-NPROBE cells per query vector — a few rows, so
+    # the declarative crossJoin + window formulation stays
     dist = F.aggregate(F.zip_with("q", "cv", lambda x, y: (x - y) * (x - y)),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
-    scored_cells = (vecs.crossJoin(F.broadcast(cents))
-                    .select("vec_id", "q", "cent_id", dist.alias("cdist")))
     win = Window.partitionBy("vec_id").orderBy(
         F.col("cdist").asc(), F.col("cent_id").asc())
-    assigned = (scored_cells.withColumn("r", F.row_number().over(win))
-                .filter(F.col("r") == 1).select("vec_id", "q", "cent_id"))
-    # query probes: top-NPROBE cells per query vector
-    probes = (scored_cells.filter(F.col("vec_id") < N_QUERIES)
+    probes = (vecs.filter(F.col("vec_id") < N_QUERIES)
+              .crossJoin(F.broadcast(cents))
+              .select("vec_id", "q", "cent_id", dist.alias("cdist"))
               .withColumn("r", F.row_number().over(win))
               .filter(F.col("r") <= NPROBE)
               .select(F.col("vec_id").alias("query_id"),
