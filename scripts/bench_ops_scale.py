@@ -83,11 +83,22 @@ def main():
     synthesize(spark, out_dir, n_vecs, doc_mult)
     t_synth = round(time.perf_counter() - t0, 2)
 
+    from xrenner_spark.operators import clustering, sampling, textstats
     ops = {
         "ann_lsh_bucket": similarity.ann_lsh_bucket,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "kmeans_lloyd": clustering.kmeans_lloyd,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_exact": dedup.dedup_exact,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "dedup_jaccard_verify": dedup.dedup_jaccard_verify,
+        "dedup_cluster_assign": dedup.dedup_cluster_assign,
+        "corpus_cleanse": sampling.corpus_cleanse,
+        "pack_sequences": sampling.pack_sequences,
+        "doc_domain_cap": sampling.doc_domain_cap,
+        "text_lang_id": textstats.text_lang_id,
+        "text_quality": textstats.text_quality,
     }
     results = {}
     for name, fn in ops.items():

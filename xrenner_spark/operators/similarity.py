@@ -171,14 +171,25 @@ def _bucketed(vecs: DataFrame, n_bits: int) -> DataFrame:
             .withColumnRenamed("col", "bucket"))
 
 
-def _score_buckets(bucketed: DataFrame, with_norms: bool = False) -> DataFrame:
+def _score_buckets(bucketed: DataFrame, with_norms: bool = False,
+                   cos_gate: "tuple[int, int] | None" = None) -> DataFrame:
     """Per-(table, bucket) exact pair scoring: one int64 GEMM per group
     (k x k from k x 64), emitting the strict upper triangle
     (vec_a < vec_b, each unordered pair once per table).  The size
     gates live inside the group function: singleton groups emit nothing
     and groups over MAX_BUCKET are dropped whole -- identical semantics
     to the former collect_list + size filter, but nothing materializes
-    JVM-side and a mega-bucket costs only its Arrow transfer."""
+    JVM-side and a mega-bucket costs only its Arrow transfer.
+
+    ``cos_gate=(num, den)`` additionally applies the cosine threshold
+    ``dot > 0 AND den*dot^2 >= num*|a|^2*|b|^2`` INSIDE the group
+    function (requires with_norms).  The gate is a per-pair predicate
+    on exact integers identical in every table that surfaces the pair,
+    so filtering before the cross-table dedupe shuffle is equivalent to
+    filtering after it — but the shuffle then carries only the passing
+    pairs instead of the full O(bucket^2/2) triangle per table
+    (round-4 lesson: the ungated triangle at 1M vectors is ~400M rows
+    and did not complete; gated, the op runs in seconds)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -206,6 +217,12 @@ def _score_buckets(bucketed: DataFrame, with_norms: bool = False) -> DataFrame:
             d = np.diagonal(S)
             out["na2"] = d[i]
             out["nb2"] = d[j]
+            if cos_gate is not None:
+                num, den = cos_gate
+                dot = out["score"]
+                keep = (dot > 0) & (den * dot * dot
+                                    >= num * out["na2"] * out["nb2"])
+                out = {c: v[keep] for c, v in out.items()}
         return pd.DataFrame(out)
 
     return bucketed.groupBy("table_id", "bucket").applyInPandas(run, schema)
@@ -356,16 +373,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The test stays in exact int64 arithmetic: vectors are unit-norm, so
     with round(x*1000) quantization den*dot^2 <= 1e14 and
     num*|a|^2*|b|^2 <= 1.6e13 both fit comfortably.  Norms come free as
-    the Gram-matrix diagonal inside the shared Arrow bucket scorer."""
+    the Gram-matrix diagonal inside the shared Arrow bucket scorer, and
+    the threshold is applied INSIDE the scorer (cos_gate): a per-pair
+    predicate on table-invariant exact integers, so pre-shuffle
+    filtering is equivalent to post-shuffle filtering — but the
+    cross-table dedupe shuffles only the passing pairs; the full
+    per-bucket triangle (~400M rows at 1M vectors, measured
+    non-completing) never materializes."""
     vecs = _quantized(spark, sf_dir)
     n_bits = _n_bits(vecs.count())
-    pairs = _score_buckets(_bucketed(vecs, n_bits), with_norms=True)
+    pairs = _score_buckets(_bucketed(vecs, n_bits), with_norms=True,
+                           cos_gate=(COS_T2_NUM, COS_T2_DEN))
     return (pairs.groupBy("vec_a", "vec_b")
-            .agg(F.min("score").alias("dot"),
-                 F.min("na2").alias("na2"), F.min("nb2").alias("nb2"))
-            .filter((F.col("dot") > 0)
-                    & (F.col("dot") * F.col("dot") * COS_T2_DEN
-                       >= F.col("na2") * F.col("nb2") * COS_T2_NUM))
+            .agg(F.min("score").alias("dot"))
             .select("vec_a", "vec_b", "dot"))
 
 
