@@ -10,6 +10,13 @@ explores the rule cascade's joint state space blind: arbitrary
 dependency forests, random funcs/morphs, quotes, speakers, pronouns in
 impossible positions.  Deterministic per seed.
 
+Mismatches are retried against fresh reference runs with perturbed heap
+layout: the reference breaks antecedent SCORE TIES by iteration order of
+an address-hashed set() of Markables, i.e. nondeterministically across
+processes (found by seed 15: a pronoun tied between two stacked
+same-span mentions, reference split 4/4 over 8 process runs).  A doc
+counts as divergent only if the reference never produces our reading.
+
 Usage: python scripts/fuzz_kernel.py [n_docs] [seed]
 """
 
@@ -107,20 +114,24 @@ def main():
     rng = random.Random(seed)
     heads, names = load_vocab()
     lex = load_lex(MODEL)
-    n_with_mentions = n_both_raise = 0
+
+    def ref_run(doc):
+        eng = Xrenner(model=MODEL, rule_based=True, no_seq=True)
+        eng.analyze(doc, "none")
+        return sorted(
+            (m.start, m.end, m.text, m.entity, m.subclass,
+             m.agree if m.agree is not None else "", m.form,
+             m.definiteness, float(m.cardinality), m.coref_type,
+             int(m.group), m.sentence.sent_num)
+            for m in eng.markables)
+
+    n_with_mentions = n_both_raise = n_tie_tolerated = 0
     for trial in range(n):
         doc = rand_doc(rng, heads, names)
         ref_err = our_err = None
         theirs = ours = None
         try:
-            eng = Xrenner(model=MODEL, rule_based=True, no_seq=True)
-            eng.analyze(doc, "none")
-            theirs = sorted(
-                (m.start, m.end, m.text, m.entity, m.subclass,
-                 m.agree if m.agree is not None else "", m.form,
-                 m.definiteness, float(m.cardinality), m.coref_type,
-                 int(m.group), m.sentence.sent_num)
-                for m in eng.markables)
+            theirs = ref_run(doc)
         except (SystemExit, Exception) as e:  # noqa: BLE001
             ref_err = type(e).__name__
         try:
@@ -142,6 +153,30 @@ def main():
             n_both_raise += 1
             continue
         if ours != theirs:
+            # The reference resolves SCORE-TIED antecedent candidates by
+            # iterating a raw set() of Markable objects — address-hashed,
+            # so the winner depends on heap layout and flips across
+            # processes (measured: 4/4 split over 8 runs on one fuzz
+            # doc).  A mismatch only counts as divergence if the
+            # reference NEVER produces our reading: re-run it with the
+            # heap deliberately perturbed between attempts (shifts
+            # set iteration order) and tolerate iff some run matches.
+            matched = False
+            for _retry in range(8):
+                _pad = ["x" * rng.randrange(16, 4096)
+                        for _ in range(rng.randrange(1, 64))]
+                try:
+                    again = ref_run(doc)
+                except (SystemExit, Exception):  # noqa: BLE001
+                    break
+                del _pad
+                if again == ours:
+                    matched = True
+                    break
+            if matched:
+                n_tie_tolerated += 1
+                n_with_mentions += 1
+                continue
             print("DIVERGE trial=%d seed=%d" % (trial, seed))
             print(doc)
             print("theirs:", theirs)
@@ -150,7 +185,8 @@ def main():
         if theirs:
             n_with_mentions += 1
     print("kernel fuzz: %d docs, %d with mentions, %d both-raise, "
-          "0 divergent (seed=%d)" % (n, n_with_mentions, n_both_raise, seed))
+          "%d tie-tolerated, 0 divergent (seed=%d)"
+          % (n, n_with_mentions, n_both_raise, n_tie_tolerated, seed))
 
 
 if __name__ == "__main__":
