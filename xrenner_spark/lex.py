@@ -236,6 +236,43 @@ def _load_filters(model_dir: str, override: Optional[str] = None) -> Filters:
     return filters
 
 
+_ZIP_EXTRACT_MEMO: dict = {}
+
+
+def _zip_member_dir(path: str) -> Optional[str]:
+    """Resolve a path that points INSIDE a zip archive (the spark-submit
+    --py-files ship path: DEFAULT_MODEL_DIR becomes
+    .../xkg.zip/xrenner_spark/models/web when the package is imported
+    from the shipped zip).  Walks up to the nearest existing ancestor;
+    if it is a zipfile containing the member subtree, extracts that
+    subtree to a tempdir (memoized per process) and returns it."""
+    import tempfile
+    import zipfile
+    inner_parts = []
+    probe = path
+    while not os.path.exists(probe):
+        probe, tail = os.path.split(probe)
+        if not tail:
+            return None
+        inner_parts.insert(0, tail)
+    if not inner_parts or not os.path.isfile(probe) \
+            or not zipfile.is_zipfile(probe):
+        return None
+    prefix = "/".join(inner_parts) + "/"
+    key = (probe, prefix)
+    if key in _ZIP_EXTRACT_MEMO:
+        return _ZIP_EXTRACT_MEMO[key]
+    with zipfile.ZipFile(probe) as zf:
+        members = [m for m in zf.namelist() if m.startswith(prefix)]
+        if not members:
+            return None
+        tmp = tempfile.mkdtemp(prefix="xrm_zip_")
+        zf.extractall(tmp, members)
+    out = os.path.join(tmp, *inner_parts)
+    _ZIP_EXTRACT_MEMO[key] = out
+    return out
+
+
 def load_lex(model_dir: Optional[str] = None,
              rule_based: bool = False, no_seq: bool = False,
              override: Optional[str] = None) -> LexModel:
@@ -244,6 +281,12 @@ def load_lex(model_dir: Optional[str] = None,
     same files through ZipFile handles; we unpack to a tempdir and load
     identically) — into a broadcastable LexModel."""
     model_dir = os.path.abspath(model_dir or DEFAULT_MODEL_DIR)
+    if not os.path.isdir(model_dir) and not os.path.isfile(model_dir):
+        # --py-files: the bundled default model lives inside the shipped
+        # zip; extract its subtree once per process
+        extracted = _zip_member_dir(model_dir)
+        if extracted is not None:
+            model_dir = extracted
     if os.path.isfile(model_dir):
         import tempfile
         import zipfile
