@@ -41,19 +41,31 @@ def test_spark_submit_py_files(tmp_path):
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
 
-    proc = subprocess.run(
-        [spark_submit, "--master", "local[4]",
-         "--conf", "spark.sql.shuffle.partitions=8",
-         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
-         "--py-files", zpath, job,
-         "--synthesize", "120", "--warehouse", warehouse],
-        cwd=str(tmp_path), capture_output=True, text=True, timeout=540,
-        env=env)
-    assert proc.returncode == 0, proc.stderr[-4000:]
+    def submit():
+        return subprocess.run(
+            [spark_submit, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+             "--py-files", zpath, job,
+             "--synthesize", "120", "--warehouse", warehouse],
+            cwd=str(tmp_path), capture_output=True, text=True, timeout=540,
+            env=env)
 
-    counts = [line for line in proc.stdout.splitlines()
-              if line.startswith("triples:")]
-    assert counts, proc.stdout[-2000:]
-    assert int(counts[0].split(":")[1]) > 0
+    def triple_count(proc):
+        counts = [line for line in proc.stdout.splitlines()
+                  if line.startswith("triples:")]
+        assert counts, proc.stdout[-2000:]
+        return int(counts[0].split(":")[1])
+
+    proc = submit()
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    n_cold = triple_count(proc)
+    assert n_cold > 0
     # the pipeline checkpointed its stages into the warehouse
     assert os.path.isdir(warehouse) and os.listdir(warehouse)
+
+    # resume: a second submission against the same warehouse must reuse
+    # the stage checkpoints and reproduce the identical triple count
+    again = submit()
+    assert again.returncode == 0, again.stderr[-4000:]
+    assert triple_count(again) == n_cold
