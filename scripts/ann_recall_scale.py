@@ -178,8 +178,12 @@ def main():
     report["planted_lsh_partner_recall"] = round(found / half, 4)
     t0 = time.perf_counter()
     dd = similarity.dedup_embedding_cosine(spark, out_dir)
-    dfound = (dd.filter(F.col("vec_b") == F.col("vec_a") + half).count())
-    dtotal = dd.count()
+    # one pass: both counts from a single execution of the pipeline
+    row = dd.agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("vec_b") == F.col("vec_a") + half).cast("long"))
+        .alias("found")).collect()[0]
+    dfound, dtotal = row["found"] or 0, row["total"]
     report["planted_dedup_s"] = round(time.perf_counter() - t0, 2)
     report["planted_dedup_pair_recall"] = round(dfound / half, 4)
     report["planted_dedup_total_pairs"] = dtotal

@@ -37,25 +37,17 @@ from scripts.bench_1m import canary  # noqa: E402
 
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DIM = 64
 
 
 def synthesize(spark, out_dir, n_vecs, doc_mult):
     from pyspark.sql import functions as F
 
     # embeddings: per-(vec_id, dim) hash -> uniform(-1, 1); fully
-    # deterministic, generated distributed, no Python in the loop
-    emb = (spark.range(n_vecs).withColumnRenamed("id", "vec_id")
-           .select("vec_id",
-                   F.expr(
-                       "transform(sequence(0, %d), d -> "
-                       " CAST(pmod(hash(vec_id * 131 + d), 20001) - 10000 "
-                       "      AS FLOAT) / 10000.0)" % (DIM - 1)
-                   ).alias("embedding"),
-                   F.pmod(F.hash("vec_id"), F.lit(16)).cast("int")
-                   .alias("label"))
-           .repartition(max(CORES, 8)))
-    emb.write.mode("overwrite").parquet(out_dir + "/embeddings.parquet")
+    # deterministic, generated distributed, no Python in the loop.
+    # ONE formula source shared with the recall probes (so "same table"
+    # claims across scripts stay true by construction).
+    from scripts.ann_recall_scale import synth_embeddings
+    synth_embeddings(spark, out_dir, n_vecs)
 
     docs = spark.read.parquet(SF_DIR + "/documents.parquet")
     copies = spark.range(doc_mult).withColumnRenamed("id", "copy")

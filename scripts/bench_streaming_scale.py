@@ -43,7 +43,9 @@ def synth_pages(spark, src_dir, doc_mult):
                  "text", "lang")
              .repartition(max(CORES, 8)))
     pages.write.mode("overwrite").parquet(src_dir)
-    return pages.count()
+    # metadata-driven count over the written files (re-counting the
+    # unexecuted crossJoin plan would re-run the whole synthesis)
+    return spark.read.parquet(src_dir).count()
 
 
 def main():

@@ -161,10 +161,14 @@ def main():
             # reference NEVER produces our reading: re-run it with the
             # heap deliberately perturbed between attempts (shifts
             # set iteration order) and tolerate iff some run matches.
+            # separate rng: pad draws must not consume the doc-generation
+            # stream (retry count depends on the reference's heap layout,
+            # so sharing rng would break per-seed reproducibility)
+            pad_rng = random.Random(seed * 1_000_003 + trial)
             matched = False
             for _retry in range(8):
-                _pad = ["x" * rng.randrange(16, 4096)
-                        for _ in range(rng.randrange(1, 64))]
+                _pad = ["x" * pad_rng.randrange(16, 4096)
+                        for _ in range(pad_rng.randrange(1, 64))]
                 try:
                     again = ref_run(doc)
                 except (SystemExit, Exception):  # noqa: BLE001

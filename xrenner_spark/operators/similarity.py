@@ -194,6 +194,10 @@ def _score_buckets(bucketed: DataFrame, with_norms: bool = False,
     import pandas as pd
     from pyspark.sql import types as T
 
+    if cos_gate is not None and not with_norms:
+        raise ValueError("cos_gate requires with_norms=True (the gate "
+                         "needs the Gram-diagonal norms; silently "
+                         "skipping it would emit the ungated triangle)")
     fields = [T.StructField("vec_a", T.LongType()),
               T.StructField("vec_b", T.LongType()),
               T.StructField("score", T.LongType())]
