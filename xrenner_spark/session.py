@@ -26,6 +26,13 @@ def get_spark(app_name: str = "xrenner-spark", cores: int = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE can only COALESCE shuffle partitions, never split them
+        # (measured: the 24-table 1M-vector LSH run took 179-257 s at 32
+        # shuffle partitions vs 80.7 s at 128 — pure reducer pressure).
+        # Start big-shuffle exchanges at 8x cores and let parallelismFirst
+        # coalesce small ones back down to ~core count.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(8 * cores))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
