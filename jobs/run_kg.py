@@ -10,6 +10,7 @@ Ship with:
         --conf spark.sql.adaptive.enabled=true \
         --conf spark.sql.execution.arrow.pyspark.enabled=true \
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+        --conf spark.sql.adaptive.coalescePartitions.initialPartitionNum=<8x total cores> \
         jobs/run_kg.py \
         --input <pages table/path> --warehouse <output path> \
         [--iceberg-catalog <catalog>] [--synthesize N]
