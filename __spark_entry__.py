@@ -37,7 +37,7 @@ def _kg_kernel_out(spark: SparkSession, sf_dir: str):
     (the triples stage derives three co-keyed views, which would otherwise
     race-recompute the kernel) and memoized per sf_dir so consecutive kg
     queries in one session share a single cached copy."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _KERNEL_OUT_CACHE:
         out = _KERNEL_OUT_CACHE[key]
         if not out.storageLevel.useMemory and not out.storageLevel.useDisk:
@@ -71,7 +71,7 @@ def _ensure_kg_exports(spark: SparkSession, sf_dir: str) -> str:
     from xrenner_spark.pipeline import (extract_stage, generate_pages,
                                         mentions_view, salt_by_url,
                                         tokens_stage, verbs_view)
-    if _EXPORT_STATE["sf_dir"] == (id(spark), sf_dir):
+    if _EXPORT_STATE["sf_dir"] == (spark.sparkContext.applicationId, sf_dir):
         return kg_oracle.EXPORT_DIR
     base = kg_oracle.EXPORT_DIR
     out = _kg_kernel_out(spark, sf_dir)
@@ -87,7 +87,7 @@ def _ensure_kg_exports(spark: SparkSession, sf_dir: str) -> str:
     extracted.unpersist()
     tokens_stage(salt_by_url(generate_pages(spark, 200, partitions=8), 8)) \
         .write.mode("overwrite").parquet(base + "/tokens200.parquet")
-    _EXPORT_STATE["sf_dir"] = (id(spark), sf_dir)
+    _EXPORT_STATE["sf_dir"] = (spark.sparkContext.applicationId, sf_dir)
     return base
 
 
@@ -339,7 +339,17 @@ def _catalog():
     #2).  The KG queries — the tier focus — therefore register FIRST,
     then the training-data operators, then the relational checklist
     (consolidated to 10 combined rows in operators/relational.py so the
-    whole catalog is exactly 50 entries)."""
+    whole catalog is exactly 50 entries).
+
+    ROTATION POLICY (round-4 verdict #8): the catalog must STAY at 50 —
+    a new query displaces an existing one, never appends past the
+    window.  Displace in this order: (1) rel_string_distinct (a demo of
+    operator classes the other combined rows already cover), then
+    (2) the other combined relational rows (each unions subplans whose
+    operator classes overlap the remaining rows), then (3) the simplest
+    textstats demos.  NEVER displace kg_* rows (the tier focus), the
+    dedup/ANN scale operators, or any row whose oracle uniquely covers
+    an operator class."""
     from xrenner_spark.operators import all_queries
     from xrenner_spark.operators import kg_oracle
     from xrenner_spark.operators import relational

@@ -36,17 +36,21 @@ _EXT = {"sgml": "sgml", "conll": "conll", "conll_sent": "conll",
 
 
 
+def _docname(path: str) -> str:
+    docname = os.path.basename(path)
+    for ext in (".conllu", ".conll10", ".conll", ".txt"):
+        if docname.endswith(ext):
+            return docname[: -len(ext)]
+    return docname
+
+
 def process_file(path: str, lex, fmt: str, model_name: str):
     """One document end-to-end: returns (docname, payload-or-paula-dict,
     dump_rows, dump_headers, n_tokens, n_sentences)."""
     from .kernel import analyze_document
     with io.open(path, encoding="utf8") as fh:
         parse = fh.read()
-    docname = os.path.basename(path)
-    for ext in (".conllu", ".conll10", ".conll", ".txt"):
-        if docname.endswith(ext):
-            docname = docname[: -len(ext)]
-            break
+    docname = _docname(path)
     result = analyze_document(docname, parse, lex)
     payload = out_mod.serialize_result(result, docname, fmt, parse=parse,
                                        model=model_name)
@@ -149,11 +153,19 @@ def main(argv=None):
         # per-doc metadata (dump rows, token counts) comes back.  stdout
         # mode (single file) never takes this branch.
         write_here = not single and fmt != "none"
+        # two inputs sharing a docname would write the same output path
+        # from two executors concurrently (racy survivor).  The
+        # sequential loop iterates sorted files, so the LAST path per
+        # docname wins deterministically — reproduce that: only the
+        # winning path writes; the others still contribute dump rows
+        # and counts exactly as they do sequentially.
+        last_for_docname = {_docname(p): p for p in files}
 
         def work(path):
             r = process_file(path, bcast.value, fmt, model_name)
             if write_here:
-                _emit(r[0], fmt, r[1], False, outdir)
+                if last_for_docname[r[0]] == path:
+                    _emit(r[0], fmt, r[1], False, outdir)
                 return (r[0], None) + r[2:]
             return r
 

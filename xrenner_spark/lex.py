@@ -239,6 +239,25 @@ def _load_filters(model_dir: str, override: Optional[str] = None) -> Filters:
 _ZIP_EXTRACT_MEMO: dict = {}
 
 
+def _safe_members(names) -> list:
+    """Reject zip members that would escape the extraction dir (zip-slip:
+    absolute paths or ``..`` components) — model archives are user-
+    supplied input."""
+    bad = [m for m in names
+           if m.startswith(("/", "\\")) or os.path.isabs(m)
+           or ".." in m.replace("\\", "/").split("/")]
+    if bad:
+        raise IOError("refusing zip with unsafe member paths: %s"
+                      % ", ".join(sorted(bad)[:3]))
+    return list(names)
+
+
+def _cleanup_tempdir(path: str) -> None:
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 def _zip_member_dir(path: str) -> Optional[str]:
     """Resolve a path that points INSIDE a zip archive (the spark-submit
     --py-files ship path: DEFAULT_MODEL_DIR becomes
@@ -267,7 +286,8 @@ def _zip_member_dir(path: str) -> Optional[str]:
         if not members:
             return None
         tmp = tempfile.mkdtemp(prefix="xrm_zip_")
-        zf.extractall(tmp, members)
+        _cleanup_tempdir(tmp)
+        zf.extractall(tmp, _safe_members(members))
     out = os.path.join(tmp, *inner_parts)
     _ZIP_EXTRACT_MEMO[key] = out
     return out
@@ -294,8 +314,9 @@ def load_lex(model_dir: Optional[str] = None,
             raise IOError("model path is a file but not a zip model: %s"
                           % model_dir)
         tmp = tempfile.mkdtemp(prefix="xrm_model_")
+        _cleanup_tempdir(tmp)
         with zipfile.ZipFile(model_dir) as zf:
-            zf.extractall(tmp)
+            zf.extractall(tmp, _safe_members(zf.namelist()))
         model_dir = tmp
         if not os.path.isfile(os.path.join(tmp, "config.ini")):
             # zip wraps the model files in a single top-level folder

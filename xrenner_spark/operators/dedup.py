@@ -26,8 +26,13 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ._sizing import parquet_rows
+
+_LOG = logging.getLogger(__name__)
 
 N_HASHES = 8
 BAND_SIZE = 2   # 4 bands of 2 -> candidate if any band matches
@@ -262,7 +267,24 @@ def dedup_simhash_sql() -> str:
 # exact n-gram Jaccard over shingle sets
 # ---------------------------------------------------------------------
 
+#: dedup_ngram_jaccard is the all-pairs oracle twin of
+#: dedup_jaccard_verify and is QUADRATIC on hot shingles by design; the
+#: guard keeps it from ever being pointed at a web-scale corpus by
+#: accident.  Every oracle sf (500 / 5,000 / 50,000 docs) is far below.
+NGRAM_ALLPAIRS_MAX_DOCS = 100_000
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_docs = parquet_rows(sf_dir + "/documents.parquet",
+                          fallback_df=spark.read.parquet(
+                              sf_dir + "/documents.parquet"))
+    if n_docs > NGRAM_ALLPAIRS_MAX_DOCS:
+        raise ValueError(
+            "dedup_ngram_jaccard is the all-pairs small-sf oracle twin "
+            "(quadratic on hot shingles) and refuses %d docs "
+            "(> %d); use dedup_jaccard_verify — the LSH-candidate-"
+            "restricted exact-Jaccard scale path — instead"
+            % (n_docs, NGRAM_ALLPAIRS_MAX_DOCS))
     sh = _shingles(_docs(spark, sf_dir)).cache()
     sh.count()  # materialize: reused by sizes and both self-join sides
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -380,29 +402,43 @@ SIMHASH_SCALE_BITS = 60    # 4 bands x 15 bits -> 32k band-join keys
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
-                        ham_max: int = HAM_MAX) -> DataFrame:
+                        ham_max: int = HAM_MAX,
+                        n_bits: "int | None" = None) -> DataFrame:
     """Near-duplicate pairs by SimHash: 4 bands — any pair within
     hamming distance 3 must agree on at least one band (pigeonhole), so
     the band bucket-join loses no true pair; exact popcount(xor) then
     filters.  One shuffle per side of the band join.
 
-    Signature width ADAPTS to the corpus (round-4 lesson, measured): the
-    16-bit demo signature has only 4-bit bands = 64 join keys total, so
-    at ANY large N every key is hot and the self-join goes quadratic
-    (50k templated docs -> 281M emitted pairs, 2 min; 500k would not
-    finish).  Above SIMHASH_SCALE_THRESHOLD the signature widens to 60
-    bits (15-bit bands, 32k keys) — expected band occupancy N/2^15, far
-    stricter hamming-3 semantics, AQE skew-join splitting whatever
-    residual hot keys boilerplate creates.  Every test sf stays on the
-    oracle-pinned 16-bit configuration.  Note the output is still
-    honestly quadratic in true-duplicate cluster size (a 100-copy
-    document yields C(100,2) pairs — that is the operator's contract);
-    the production funnel runs exact dedup first (corpus_cleanse)."""
+    ``n_bits`` is the signature width — the semantic knob: hamming<=3
+    over 60 bits is a far stricter near-dup criterion than over 16.
+    When left None it defaults by corpus size (round-5 advice fix: the
+    switch is now an explicit, logged parameter rather than an
+    invisible inference, and the size probe reads the parquet footer
+    instead of paying a count() job): the 16-bit demo signature has
+    only 4-bit bands = 64 join keys total, so at ANY large N every key
+    is hot and the self-join goes quadratic (round-4 measurement: 50k
+    templated docs -> 281M emitted pairs, 2 min; 500k would not
+    finish).  Above SIMHASH_SCALE_THRESHOLD the default widens to 60
+    bits (15-bit bands, 32k keys) — expected band occupancy N/2^15,
+    AQE skew-join splitting whatever residual hot keys boilerplate
+    creates.  Every test sf stays on the oracle-pinned 16-bit
+    configuration.  Note the output is still honestly quadratic in
+    true-duplicate cluster size (a 100-copy document yields C(100,2)
+    pairs — that is the operator's contract); the production funnel
+    runs exact dedup first (corpus_cleanse)."""
     docs = _docs(spark, sf_dir)
-    if docs.count() > SIMHASH_SCALE_THRESHOLD:
-        n_bits = SIMHASH_SCALE_BITS
-    else:
-        n_bits = 16
+    if n_bits is None:
+        n_docs = parquet_rows(sf_dir + "/documents.parquet",
+                              fallback_df=docs)
+        n_bits = SIMHASH_SCALE_BITS if n_docs > SIMHASH_SCALE_THRESHOLD \
+            else 16
+        _LOG.info("dedup_simhash_pairs: N=%d docs -> %d-bit signature "
+                  "(hamming<=%d; pass n_bits= to pin the regime)",
+                  n_docs, n_bits, ham_max)
+    if n_bits % 4 != 0 or not 4 <= n_bits <= 60:
+        raise ValueError("n_bits must be a multiple of 4 in [4, 60] "
+                         "(4 bands; 15-hex md5 prefix = 60 usable bits), "
+                         "got %r" % (n_bits,))
     band_bits = n_bits // 4
     band_mask = (1 << band_bits) - 1
     sims = _simhash(docs, n_bits, "sig").cache()
@@ -461,7 +497,9 @@ def dedup_simhash_pairs_sql(ham_max: int = HAM_MAX) -> str:
 
 
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str,
-                         max_iters: int = 16) -> DataFrame:
+                         max_iters: int = 16,
+                         verified_pairs: "DataFrame | None" = None
+                         ) -> DataFrame:
     """Duplicate-CLUSTER assignment: connected components over the
     VERIFIED near-dup pair graph (minhash-LSH candidates confirmed by
     exact Jaccard — dedup_jaccard_verify), then one canonical document
@@ -481,11 +519,20 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str,
     max_iters=16 is a hard cap), independent of corpus size — the same
     scaling argument as the tree-closure operator.  At 100 TB this is
     the standard label-propagation CC pattern: labels and edges shuffle
-    on doc_id, AQE coalesces the shrinking frontier."""
-    pairs = dedup_jaccard_verify(spark, sf_dir)
+    on doc_id, AQE coalesces the shrinking frontier.
+
+    ``verified_pairs`` lets a pipeline that already ran the verify
+    funnel hand its (doc_a, doc_b) output in directly (round-5 fix: at
+    500k docs the standalone recompute was ~40 s of the operator's
+    62-83 s wall).  Either way the symmetric edge list is materialized
+    ONCE (eager localCheckpoint) before the CC loop, so no round — and
+    no label-lineage reset — re-executes the funnel."""
+    pairs = verified_pairs if verified_pairs is not None \
+        else dedup_jaccard_verify(spark, sf_dir)
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .unionAll(pairs.select(F.col("doc_b").alias("src"),
-                                    F.col("doc_a").alias("dst")))).persist()
+                                    F.col("doc_a").alias("dst")))
+             ).localCheckpoint(eager=True)
     docs = spark.read.parquet(sf_dir + "/documents.parquet").select("doc_id")
     # eager localCheckpoint per round truncates the iterative lineage.
     # persist()+unpersist() is a TRAP here: unpersisting the previous
@@ -507,7 +554,6 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str,
         if new_sum == prev_sum:   # min-labels decrease monotonically
             break
         prev_sum = new_sum
-    edges.unpersist()
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"))

@@ -22,27 +22,37 @@ cosine(top-k) is the baseline; random-hyperplane LSH is the scale path:
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ._sizing import parquet_rows
+
+_LOG = logging.getLogger(__name__)
+
 N_QUERIES = 10
 TOP_K = 3
 EMB_DIM = 64          # embeddings.parquet vector width (all sf dirs)
-N_TABLES = 12         # OR-combined hash tables
+N_TABLES = 18         # OR-combined hash tables (recall knob; see below)
 N_BITS = 5            # BASE hyperplanes (bucket bits) per table
 MAX_BITS = 16         # adaptive-bits ceiling (65k buckets/table)
 TARGET_BUCKET = 64    # expected bucket occupancy the bit count aims for
 MAX_BUCKET = 128      # skip over-full buckets: bounds worst-case group
                       # work at MAX_BUCKET^2 scored pairs per bucket
 
-# (N_TABLES=12, N_BITS=5) measures 0.83 top-3 recall vs the brute-force
-# oracle on the sf0.1 embeddings (2k vectors; ~N/2^5 ≈ 62-vector buckets).
 # At production N the bit count ADAPTS as log2(N / TARGET_BUCKET)
 # (_n_bits below) so bucket occupancy — and with it per-query candidate
 # work — stays constant; the recall knob is N_TABLES.  Every test sf
 # (200 / 2,000 vectors) lands on the base 5 bits, so the static DuckDB
 # oracle and the measured recall are unaffected by adaptivity.
+#
+# N_TABLES=18 is the round-5 default: the round-4 1M-vector measurement
+# (scripts/ann_recall_tables.py, BENCH/BASELINE.md) put planted-pair
+# recall at 0.857 / 0.944 / 0.979 for 12 / 18 / 24 tables with 18
+# costing only ~+10% wall over 12 — the verdict-directed operating
+# point.  The DuckDB oracle SQL is generated from the same constant so
+# both engines always agree on the candidate set.
 
 
 def _rademacher(table: int, bit: int) -> list:
@@ -64,7 +74,23 @@ def _n_bits(n_vecs: int) -> int:
     import math
     need = math.ceil(math.log2(max(n_vecs, 1) / TARGET_BUCKET)) \
         if n_vecs > TARGET_BUCKET else 0
-    return max(N_BITS, min(MAX_BITS, need))
+    bits = max(N_BITS, min(MAX_BITS, need))
+    _LOG.info("LSH geometry: N=%d vectors -> %d bucket bits x %d tables",
+              n_vecs, bits, N_TABLES)
+    return bits
+
+
+def _corpus_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Adaptive bit width from the parquet FOOTER row count — the
+    round-4 advice fix: counting the quantized plan executed the scan +
+    quantization twice per operator call (once for the count, once for
+    the real job).  Footer metadata is exact and driver-side; a
+    non-parquet layout falls back to one count() on the RAW scan (no
+    quantization recompute)."""
+    n = parquet_rows(sf_dir + "/embeddings.parquet",
+                     fallback_df=spark.read.parquet(
+                         sf_dir + "/embeddings.parquet"))
+    return _n_bits(n)
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,14 +311,14 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer (size caps inside the group function); a pair-keyed groupBy
     dedupes across the OR-tables; mirroring both directions and the
     per-query-vector window rank the final top-k.  Bucket bits adapt to
-    the corpus size (one count pre-job) so occupancy stays near
-    TARGET_BUCKET at any N.  Carrying the (small, fixed-width) vectors
+    the corpus size (parquet-footer row count, no pre-job) so occupancy
+    stays near TARGET_BUCKET at any N.  Carrying the (small, fixed-width) vectors
     through the bucket shuffle costs N_TABLES array copies per row but
     saves the two vec_id-keyed scoring joins a pairs-then-lookup plan
     would shuffle -- at 10^12 rows the join sides dwarf the signature
     fan-out."""
     vecs = _quantized(spark, sf_dir)
-    n_bits = _n_bits(vecs.count())
+    n_bits = _corpus_bits(spark, sf_dir)
     directed = _score_buckets_topk(_bucketed(vecs, n_bits), TOP_K)
     # the same (query, neighbor) edge surfaces from every shared table
     # with an identical exact score: one pair-keyed dedupe
@@ -385,7 +411,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket triangle (~400M rows at 1M vectors, measured
     non-completing) never materializes."""
     vecs = _quantized(spark, sf_dir)
-    n_bits = _n_bits(vecs.count())
+    n_bits = _corpus_bits(spark, sf_dir)
     pairs = _score_buckets(_bucketed(vecs, n_bits), with_norms=True,
                            cos_gate=(COS_T2_NUM, COS_T2_DEN))
     return (pairs.groupBy("vec_a", "vec_b")

@@ -277,6 +277,9 @@ def child_info_sql(tokens: DataFrame) -> DataFrame:
                  F.count("*").alias("n_children")))
 
 
+_DESC_VIEW_SEQ = 0
+
+
 def descendants_closure_sql(tokens: DataFrame, max_depth: int = 12) -> DataFrame:
     """Transitive closure of the dependency child relation as ONE
     declarative ``WITH RECURSIVE`` query (the SQL analogue of reference
@@ -289,25 +292,41 @@ def descendants_closure_sql(tokens: DataFrame, max_depth: int = 12) -> DataFrame
     (ancestor, descendant) pair is derived along exactly one path and
     UNION ALL never duplicates — no distinct needed.  Iteration count
     is bounded by tree depth (~12 for natural-language parses), not by
-    corpus size; ``max_depth`` caps the recursion as a safety net
-    against cyclic input.  The production path remains the kernel's
-    per-document in-memory closure; this operator exists for SQL-side
-    tree analytics and is oracle-checked against a DuckDB
-    WITH RECURSIVE twin."""
+    corpus size.
+
+    CONTRACT (round-5 advice): ``max_depth`` is a hard recursion cap —
+    unlike the round-3 frontier loop (which silently truncated) and the
+    DuckDB oracle twin (which has no cap), Spark RAISES
+    ``RECURSION_LEVEL_LIMIT_EXCEEDED`` when a tree is deeper than
+    ``max_depth`` or the input contains a head cycle.  That throw is
+    deliberate: a silent truncation would return an incomplete closure
+    that hashes differently from the oracle, and cyclic input is
+    malformed (the kernel's in-memory closure rejects it too).  Callers
+    with legitimately deeper trees pass a larger ``max_depth``; the
+    default 12 covers natural-language parses with slack.  The
+    production path remains the kernel's per-document in-memory
+    closure; this operator exists for SQL-side tree analytics and is
+    oracle-checked against a DuckDB WITH RECURSIVE twin."""
     spark = tokens.sparkSession
-    tokens.createOrReplaceTempView("_descendants_tokens")
+    # per-call unique view name: a fixed name is session-global state
+    # that concurrent callers (or a caller's own later query) would
+    # silently rebind mid-plan
+    global _DESC_VIEW_SEQ
+    _DESC_VIEW_SEQ += 1
+    view = "_descendants_tokens_%d" % _DESC_VIEW_SEQ
+    tokens.createOrReplaceTempView(view)
     return spark.sql("""
         WITH RECURSIVE closure(url, ancestor, descendant)
         MAX RECURSION LEVEL {max_level} AS (
             SELECT url, head AS ancestor, tid AS descendant
-            FROM _descendants_tokens WHERE head > 0
+            FROM {view} WHERE head > 0
             UNION ALL
             SELECT c.url, c.ancestor, e.tid AS descendant
-            FROM closure c JOIN _descendants_tokens e
+            FROM closure c JOIN {view} e
               ON c.url = e.url AND c.descendant = e.head
         )
         SELECT url, ancestor, descendant FROM closure
-    """.format(max_level=max_depth + 1))
+    """.format(max_level=max_depth + 1, view=view))
 
 
 # ---------------------------------------------------------------------
