@@ -355,6 +355,7 @@ class DocState:
         self.children: Dict[int, List[int]] = {}
         self.child_funcs: Dict[int, List[str]] = {}
         self.child_strings: Dict[int, List[str]] = {}
+        self.child_info_frontier = 0  # highest id add_child_info processed
         self.descendants: Dict[int, List[int]] = {}
         self.markables: List[Markable] = []
         self.markables_by_head: Dict[str, Markable] = {}

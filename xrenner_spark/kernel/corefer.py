@@ -28,7 +28,7 @@ def find_antecedent(markable: Markable, doc: DocState, lex,
     propagation = None
     for rule in doc.coref_rules:
         if restrict_rule == "" or restrict_rule in rule.ana_spec:
-            if rule_applies(rule.ana_constraints, markable, lex, doc):
+            if rule.ana_matcher(markable, lex, doc, None):
                 candidate = search_prev_markables(markable, doc, lex, rule)
                 if candidate is not None:
                     propagation = rule.propagation
@@ -40,9 +40,25 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
     """(reference xrenner_coref.py:41-163)"""
     f = lex.filters
     previous_markables = doc.markables
-    ante_spec = rule.ante_spec
     max_dist = rule.max_distance
-    lookahead = ante_spec.find("lookahead") > -1
+    lookahead = rule.lookahead
+    anytext, anyagree = rule.anytext, rule.anyagree
+    anycardinality, anyentity = rule.anycardinality, rule.anyentity
+
+    # anaphor-side invariants of the scan, resolved once
+    m_sent_num = markable.sentence.sent_num
+    m_head_tid = markable.head.tid
+    m_head_text = markable.head.text
+    m_head_lemma = markable.head.lemma
+    m_text = markable.text
+    m_core_text = markable.core_text
+    m_entity = markable.entity
+    is_pronoun = markable.form == "pronoun"
+    non_ante_groups = markable.non_antecdent_groups
+    ante_matcher = rule.ante_matcher
+    no_overlap = f["no_overlap"]
+    lemma_match_pos = f["lemma_match_pos"]
+    coref_table = lex.coref
 
     candidates = []  # insertion-ordered candidate set
 
@@ -52,58 +68,58 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
 
     scan = previous_markables if lookahead else reversed(previous_markables)
     for candidate in scan:
-        if markable.sentence.sent_num - candidate.sentence.sent_num <= max_dist:
-            direction_ok = ((markable.head.tid > candidate.head.tid and not lookahead)
-                            or (markable.head.tid < candidate.head.tid and lookahead))
+        if m_sent_num - candidate.sentence.sent_num <= max_dist:
+            direction_ok = ((m_head_tid > candidate.head.tid and not lookahead)
+                            or (m_head_tid < candidate.head.tid and lookahead))
             if not direction_ok:
                 continue
-            if candidate.group in markable.non_antecdent_groups:
+            if candidate.group in non_ante_groups:
                 continue
-            if not rule_applies(rule.ante_constraints, candidate, lex, doc, anaphor=markable):
+            if not ante_matcher(candidate, lex, doc, markable):
                 continue
-            if not f["no_overlap"] or not markables_overlap(markable, candidate, lex):
-                if markable.form == "pronoun":
+            if not no_overlap or not markables_overlap(markable, candidate, lex):
+                if is_pronoun:
                     if agree_compatible(markable, candidate, lex) or \
-                            (ante_spec.find("anyagree") > -1
+                            (anyagree
                              and group_agree_compatible(markable, candidate, previous_markables, lex)):
                         if entities_compatible(markable, candidate, lex) and \
                                 cardinality_compatible(markable, candidate):
                             if speaker_compatible(markable, candidate, previous_markables):
                                 add(candidate)
-                elif markable.text == candidate.text or \
-                        (len(markable.text) > 4 and candidate.text.lower() == markable.text.lower()):
+                elif m_text == candidate.text or \
+                        (len(m_text) > 4 and candidate.text.lower() == m_text.lower()):
                     add(candidate)
-                elif markable.text + "|" + candidate.text in lex.coref and \
+                elif m_text + "|" + candidate.text in coref_table and \
                         entities_compatible(markable, candidate, lex) and \
                         agree_compatible(markable, candidate, lex):
                     add(candidate)
-                elif markable.core_text + "|" + candidate.core_text in lex.coref and \
+                elif m_core_text + "|" + candidate.core_text in coref_table and \
                         entities_compatible(markable, candidate, lex) and \
                         agree_compatible(markable, candidate, lex):
                     add(candidate)
-                elif markable.entity == candidate.entity and \
+                elif m_entity == candidate.entity and \
                         agree_compatible(markable, candidate, lex) and \
-                        (markable.head.text == candidate.head.text
-                         or (len(markable.head.text) > 3
-                             and candidate.head.text.lower() == markable.head.text.lower())
-                         or (markable.core_text.count(" ") > 2
-                             and markable.core_text.lower() == candidate.core_text.lower())
-                         or (markable.head.lemma == candidate.head.lemma
-                             and f["lemma_match_pos"].match(markable.head.pos) is not None
-                             and f["lemma_match_pos"].match(candidate.head.pos) is not None)):
+                        (m_head_text == candidate.head.text
+                         or (len(m_head_text) > 3
+                             and candidate.head.text.lower() == m_head_text.lower())
+                         or (m_core_text.count(" ") > 2
+                             and m_core_text.lower() == candidate.core_text.lower())
+                         or (m_head_lemma == candidate.head.lemma
+                             and lemma_match_pos.match(markable.head.pos) is not None
+                             and lemma_match_pos.match(candidate.head.pos) is not None)):
                     if modifiers_compatible(markable, candidate, lex, doc) and \
                             modifiers_compatible(candidate, markable, lex, doc):
                         add(candidate)
-                elif (markable.entity == candidate.entity
+                elif (m_entity == candidate.entity
                       or len(set(markable.alt_entities) & set(candidate.alt_entities)) > 0) \
                         and isa(markable, candidate, lex, doc):
                     candidate.isa = True
                     add(candidate)
                 elif agree_compatible(markable, candidate, lex) and \
-                        (markable.head.text == candidate.head.text
-                         or (markable.head.lemma == candidate.head.lemma
-                             and f["lemma_match_pos"].match(markable.head.pos) is not None
-                             and f["lemma_match_pos"].match(candidate.head.pos) is not None)):
+                        (m_head_text == candidate.head.text
+                         or (m_head_lemma == candidate.head.lemma
+                             and lemma_match_pos.match(markable.head.pos) is not None
+                             and lemma_match_pos.match(candidate.head.pos) is not None)):
                     if merge_entities(markable, candidate, previous_markables, lex, doc):
                         add(candidate)
                 elif entities_compatible(markable, candidate, lex) and \
@@ -111,7 +127,7 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
                     if merge_entities(markable, candidate, previous_markables, lex, doc):
                         candidate.isa = True
                         add(candidate)
-            elif (f["match_acronyms"] and markable.head.text.isupper()) \
+            elif (f["match_acronyms"] and m_head_text.isupper()) \
                     or candidate.head.text.isupper():
                 if acronym_match(markable, candidate, lex) or \
                         acronym_match(candidate, markable, lex):
@@ -120,13 +136,13 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
                         if merge_entities(markable, candidate, previous_markables, lex, doc):
                             add(candidate)
             # catch-all directive; note it is not gated by the overlap check
-            if ante_spec.find("anytext") > -1:
-                if (ante_spec.find("anyagree") > -1
+            if anytext:
+                if (anyagree
                         and group_agree_compatible(markable, candidate, previous_markables, lex)) \
                         or agree_compatible(markable, candidate, lex):
-                    if ante_spec.find("anycardinality") > -1 or \
+                    if anycardinality or \
                             cardinality_compatible(markable, candidate):
-                        if ante_spec.find("anyentity") > -1 or \
+                        if anyentity or \
                                 entities_compatible(markable, candidate, lex):
                             add(candidate)
         elif not lookahead:
@@ -157,8 +173,8 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
     if not candidates:
         return None
 
-    take_first = ante_spec.find("takefirst") > -1
-    best = best_candidate(markable, candidates, lex, doc, rule, take_first=take_first)
+    best = best_candidate(markable, candidates, lex, doc, rule,
+                          take_first=rule.takefirst)
     if best is not None:
         if markable.text + "|" + best.text in lex.coref:
             markable.coref_type = lex.coref[markable.text + "|" + best.text]

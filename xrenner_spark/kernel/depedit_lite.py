@@ -56,6 +56,7 @@ kill=supertoks, xrenner_xrenner.py:41).
 from __future__ import annotations
 
 import re
+from operator import attrgetter
 from typing import List, Optional, Tuple
 
 ALIASES = {"form": "text", "upostag": "pos", "xpostag": "cpos",
@@ -143,22 +144,50 @@ class _Criterion:
             self.exact = None
             self.rx = re.compile(anchored)
 
-    def match(self, tok: _Tok):
-        """False, True (no groups), or a match object (groups exposed)."""
+        # per-criterion specialized matcher: dispatch on anno/attr/head/
+        # exact/negative is decided once here instead of per call — this
+        # runs per (token, node, criterion), the depedit hot loop
+        self.match = self._build_matcher()
+
+    def _build_matcher(self):
+        """Compile this criterion into a closure with the dispatch
+        decided once.  Same contract as the generic path: False, True
+        (no groups), or a match object (groups exposed)."""
+        negative = self.negative
+        exact = self.exact
         if self.anno_key is not None:
-            val = tok.sent.lookup(self.anno_key)
+            key = self.anno_key
+
+            def getval(tok, _k=key):
+                return tok.sent.lookup(_k)
+        elif self.attr == "head":
+            def getval(tok):
+                # sentence-local head id, integers without trailing .0
+                v = tok.head
+                return v if v == "0" else ("%g" % float(v))
         else:
-            val = getattr(tok, self.attr)
-        if self.attr == "head":
-            # sentence-local head id, integers without trailing .0
-            val = val if val == "0" else ("%g" % float(val))
-        if self.exact is not None:
-            ok = (val == self.exact)
-            return (not ok) if self.negative else ok
-        m = self.rx.search(val)
-        if self.negative:
-            return m is None
-        return m if m is not None else False
+            getval = attrgetter(self.attr)
+        if exact is not None:
+            if negative:
+                return lambda tok: getval(tok) != exact
+            return lambda tok: getval(tok) == exact
+        search = self.rx.search
+        if negative:
+            return lambda tok: search(getval(tok)) is None
+
+        def matcher(tok):
+            m = search(getval(tok))
+            return m if m is not None else False
+        return matcher
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("match", None)  # closures don't pickle; rebuilt on load
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.match = self._build_matcher()
 
 
 def _split_outside(text: str, sep: str) -> List[str]:

@@ -225,7 +225,9 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
     # stop_ids is seeded before the postprocess hook and threaded through
     # to find_stop_zones, matching the reference's lifecycle
     # (xrenner_xrenner.py:431-443 init, :441-442 postprocess hook)
-    stop_ids = {tok.tid: False for tok in toks[tokoffset + 1:upto + 1]}
+    # token ids are list indices by construction, so the sentence's id
+    # range is contiguous
+    stop_ids = dict.fromkeys(range(tokoffset + 1, upto + 1), False)
     if f["postprocess_parser"]:
         parsing.postprocess_parser(doc, tokoffset, upto, stop_ids)
     parsing.replace_conj_func(doc, tokoffset, upto)
@@ -234,14 +236,19 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
     parsing.build_descendants(doc, tokoffset, upto)
     descendants = doc.descendants
 
+    # memoized-regex matchers hoisted out of the per-token loop
+    head_pos_match = f["mark_head_pos"].match
+    forbidden_func_match = f["mark_forbidden_func"].match
+    pos_func_heads = f["pos_func_heads"]
+
     def is_head_candidate(tok):
-        return ((f["mark_head_pos"].match(tok.pos) is not None
-                 and f["mark_forbidden_func"].match(tok.func) is None)
-                or pos_func_combo(tok.pos, tok.func, f["pos_func_heads"]))
+        return ((head_pos_match(tok.pos) is not None
+                 and forbidden_func_match(tok.func) is None)
+                or pos_func_combo(tok.pos, tok.func, pos_func_heads))
 
     def is_eligible_submark_head(tok):
-        return (f["mark_head_pos"].match(tok.pos) is not None
-                and f["mark_forbidden_func"].match(tok.func) is None)
+        return (head_pos_match(tok.pos) is not None
+                and forbidden_func_match(tok.func) is None)
 
     mark_candidates: Dict[str, Markable] = {}
     keys_to_pop: List = []

@@ -23,6 +23,7 @@ _YEAR_OR_TIME = re.compile(r"^(1[456789][0-9][0-9]|20[0-9][0-9]|(2[0-3]|1?[0-9])
 _PURE_NUMBER = re.compile(r"^(([0-9]{1,3}[.,]?)+)$")
 _NUMERIC = re.compile(r"^(\d+(\.\d+)?|(\.\d+))$")
 _FRACTION = re.compile(r"^(\d+)/(\d+)$")
+_HAS_DIGIT = re.compile(r"\d")
 _CAPS_LETTER = re.compile(r"[A-ZÄÖÜ]")
 
 
@@ -142,14 +143,22 @@ def resolve_mark_agree(mark: Markable, lex) -> Optional[List[str]]:
 def resolve_cardinality(mark: Markable, lex) -> float:
     """Numeric modifiers / number words to cardinality
     (reference xrenner_marker.py:490-530)."""
+    numbers = lex.numbers
+    filters = lex.filters
+
     def check_card(text: str):
-        if text in lex.numbers:
-            return int(lex.numbers[text][0])
-        if text.lower() in lex.numbers:
-            return int(lex.numbers[text.lower()][0])
-        thousand = lex.filters["thousand_sep"]
+        if text in numbers:
+            return int(numbers[text][0])
+        low = text.lower()
+        if low in numbers:
+            return int(numbers[low][0])
+        # separator subs can't introduce digits, and _NUMERIC/_FRACTION
+        # both require one — skip the regex funnel for wordlike text
+        if _HAS_DIGIT.search(text) is None:
+            return None
+        thousand = filters["thousand_sep"]
         pure = re.sub(r"\." if thousand == "." else thousand, "", text)
-        decimal = lex.filters["decimal_sep"]
+        decimal = filters["decimal_sep"]
         if decimal != ".":
             pure = re.sub(decimal, ".", pure)
         if _NUMERIC.match(pure) is not None:

@@ -45,7 +45,12 @@ def remove_infix_tokens(marktext: str, lex) -> str:
 
 
 def replace_head_with_lemma(mark: Markable) -> str:
-    return re.sub(re.escape(mark.head.text), mark.head.lemma, mark.core_text).strip()
+    # the reference regex-substitutes an escaped (= literal) head text,
+    # which is exactly str.replace (xrenner_marker.py same site)
+    head_text = mark.head.text
+    if head_text == mark.head.lemma or head_text not in mark.core_text:
+        return mark.core_text.strip()
+    return mark.core_text.replace(head_text, mark.head.lemma).strip()
 
 
 # ----------------------------------------------------------------------
@@ -194,15 +199,21 @@ def markable_extend_punctuation(marktext: str, adjacent: Token,
                                 punct_dict: Dict[str, str], direction: str) -> bool:
     """Extend over a closing (or opening) bracket/quote when its partner is
     inside the span (xrenner_marker.py:613-622)."""
+    # the adjacent-token equality is tested first: it's one pointer/str
+    # compare vs substring scans of the span text, and almost no tokens
+    # are partner punctuation (conjunction order has no side effects)
+    adjacent_text = adjacent.text
     if direction == "trailing":
         for opener, closer in punct_dict.items():
-            if ((" " + opener + " ") in marktext or marktext.startswith(opener + " ")) \
-                    and adjacent.text == closer:
+            if adjacent_text == closer \
+                    and ((" " + opener + " ") in marktext
+                         or marktext.startswith(opener + " ")):
                 return True
     else:
         for closer, opener in punct_dict.items():
-            if ((" " + closer + " ") in marktext or marktext.endswith(" " + closer)) \
-                    and adjacent.text == opener:
+            if adjacent_text == opener \
+                    and ((" " + closer + " ") in marktext
+                         or marktext.endswith(" " + closer)):
                 return True
     return False
 

@@ -22,7 +22,8 @@ def read_document(conllu_text: str, lex) -> DocState:
     """Parse a whole CoNLL-U document into tokens + sentences."""
     doc = DocState(lex)
     f = lex.filters
-    lines = conllu_text.replace("\r", "").split("\n")
+    clean = conllu_text.replace("\r", "")
+    lines = clean.split("\n")
 
     doc.token_count = len([ln for ln in lines if not (ln.startswith("#") or len(ln) == 0)])
 
@@ -34,17 +35,35 @@ def read_document(conllu_text: str, lex) -> DocState:
     lemmas: List[str] = []
     s_texts: List[str] = []
 
-    # sentence surface strings (used for speaker/oracle contexts)
-    for block in "\n".join(lines).strip().split("\n\n"):
-        tablines = [ln.split("\t") for ln in block.split("\n") if "\t" in ln]
-        words = [cols[1] for cols in tablines if "-" not in cols[0]]
-        lemmas += [cols[2] for cols in tablines if "-" not in cols[0]]
+    # sentence surface strings (used for speaker/oracle contexts); token
+    # lines are split once here and the columns reused by the main loop
+    # below (identical line content -> identical split)
+    col_cache: Dict[str, List[str]] = {}
+    for block in clean.strip().split("\n\n"):
+        words: List[str] = []
+        for ln in block.split("\n"):
+            if "\t" not in ln:
+                continue
+            cols = ln.split("\t")
+            col_cache[ln] = cols
+            if "-" not in cols[0]:
+                words.append(cols[1])
+                lemmas.append(cols[2])
         s_texts.append(" ".join(words))
 
     # sequence-label all tokens before reading sentences (reference
     # xrenner_xrenner.py:159-163; flat list indexed by global id - 1)
     seq_preds = lex.sequencer.predict_proba(s_texts) \
         if lex.sequencer is not None else None
+
+    # memoized-regex matchers hoisted out of the per-line loop
+    open_quote_match = f["open_quote"].match
+    close_quote_match = f["close_quote"].match
+    question_mark_match = f["question_mark"].match
+    non_link_func_match = f["non_link_func"].match
+    non_link_tok_match = f["non_link_tok"].match
+    func_subs_fwd = lex.func_substitutes_forward
+    func_subs_bwd = lex.func_substitutes_backward
 
     for line in lines:
         if line.startswith("#") and "speaker" in line and "=" in line:
@@ -54,23 +73,25 @@ def read_document(conllu_text: str, lex) -> DocState:
             current.s_type = line.split("=")[1].strip()
         elif line.find("\t") > 0:
             current.token_count += 1
-            cols = line.split("\t")
+            cols = col_cache.get(line)
+            if cols is None:
+                cols = line.split("\t")
             if "." in cols[0] or "-" in cols[0]:  # multiword/ellipsis ids
                 continue
             text = cols[1]
-            if f["open_quote"].match(text) is not None and quoted is False:
+            if open_quote_match(text) is not None and quoted is False:
                 quoted = True
-            elif f["close_quote"].match(text) is not None and quoted is True:
+            elif close_quote_match(text) is not None and quoted is True:
                 quoted = False
-            if f["question_mark"].match(text) is not None:
+            if question_mark_match(text) is not None:
                 current.mood = "question"
             tok_func = cols[7]
             pos = cols[3]
-            if pos in lex.func_substitutes_forward and int(cols[6]) > int(cols[0]):
-                sub = lex.func_substitutes_forward[pos]
+            if pos in func_subs_fwd and int(cols[6]) > int(cols[0]):
+                sub = func_subs_fwd[pos]
                 tok_func = re.sub(sub[0], sub[1], cols[7])
-            elif pos in lex.func_substitutes_backward and int(cols[6]) < int(cols[0]):
-                sub = lex.func_substitutes_backward[pos]
+            elif pos in func_subs_bwd and int(cols[6]) < int(cols[0]):
+                sub = func_subs_bwd[pos]
                 tok_func = re.sub(sub[0], sub[1], cols[7])
             tid = int(cols[0]) + tokoffset
             head = 0 if cols[6] == "0" else int(cols[6]) + tokoffset
@@ -87,8 +108,8 @@ def read_document(conllu_text: str, lex) -> DocState:
             doc.tokens.append(tok)
             sentlength += 1
             # children only via span-linking functions (markable propagation)
-            if not (f["non_link_func"].match(tok_func) is not None
-                    or f["non_link_tok"].match(text) is not None):
+            if not (non_link_func_match(tok_func) is not None
+                    or non_link_tok_match(text) is not None):
                 if cols[6] != "0":
                     doc.children.setdefault(head, []).append(tid)
             # func/string accumulation keys on raw head+offset, like the
@@ -130,10 +151,21 @@ def read_document(conllu_text: str, lex) -> DocState:
 
 def add_child_info(doc: DocState, upto: int):
     """Attach accumulated child funcs/strings to each head token and set
-    negation flags (reference xrenner_preprocess.py:27-46)."""
+    negation flags (reference xrenner_preprocess.py:27-46).
+
+    The reference rescans every id <= upto each sentence; because the
+    child_funcs/child_strings dicts are fully built at read time and the
+    per-id processing is idempotent (append-dedup + a monotone negated
+    flag), ids at or below the previous call's upto are already in their
+    final state — the frontier skip below only removes redundant rescans
+    (the quadratic-in-sentences term), never changes output."""
     neg_re = doc.lex.filters["neg_func"]
+    frontier = doc.child_info_frontier
+    if upto <= frontier:
+        return
+    doc.child_info_frontier = upto
     for child_id, funcs in doc.child_funcs.items():
-        if child_id > upto:
+        if child_id > upto or child_id <= frontier:
             continue
         tok = doc.tokens[child_id]
         for func in funcs:
@@ -408,6 +440,8 @@ def find_stop_zones(doc: DocState, tokoffset: int, upto: int,
     # reference's dead-areas loop, because the rewiring reads stop flags
     # set by earlier iterations
     use_sequencer = lex.sequencer is not None
+    stop_first = lex.stop_first_words()
+    stop_list = lex.stop_list
     for tok1 in toks[tokoffset + 1:upto + 1]:
         if use_sequencer:
             # confident "O" prediction on an eligible POS suppresses the
@@ -422,10 +456,17 @@ def find_stop_zones(doc: DocState, tokoffset: int, upto: int,
                     stop_ids[tok1.tid] = True
         if postprocess:
             _affix_stop_reroute(doc, tok1, tokoffset, upto, stop_ids)
+        # a candidate n-gram starting at tok1 begins with tok1's lowered
+        # text (tok.text is pre-stripped), so tokens outside the stop
+        # list's first-word index can't open a stop zone; empty-text
+        # tokens shift the first word and take the full path
+        t1_text = tok1.text
+        if t1_text and t1_text.lower() not in stop_first:
+            continue
         candidate = ""
         for tok2 in toks[tok1.tid:min(upto + 1, tok1.tid + 4)]:
             candidate += tok2.text + " "
-            if candidate.strip().lower() in lex.stop_list:
+            if candidate.strip().lower() in stop_list:
                 for tok3 in toks[tok1.tid:tok2.tid + 1]:
                     stop_ids[tok3.tid] = True
 

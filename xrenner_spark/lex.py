@@ -23,7 +23,70 @@ from typing import Dict, List, Optional, Set, Tuple
 
 from .rules import CorefRule
 
-NEVER_MATCH = re.compile(r"$^")
+class CachedPattern:
+    """Compiled-regex wrapper that memoizes ``match()``/``search()``
+    results per input string.
+
+    The kernel applies a small, fixed set of config regexes to a heavily
+    repeating vocabulary (POS tags, dependency functions, agreement
+    classes, frequent token strings), so the overwhelming majority of
+    regex evaluations are repeats of earlier ones; match objects are
+    immutable, which makes the memo fully transparent to callers that
+    test truthiness or read groups.  A plain dict with a try/except hit
+    path measured faster than ``functools.lru_cache`` here (single-str
+    key, no tuple boxing).  The memo is size-bounded (open-vocabulary
+    token text cannot grow it without limit on a long-lived executor)
+    and dropped on pickle — a broadcast LexModel ships only the pattern
+    source, each worker re-warms its own memo."""
+
+    __slots__ = ("_re", "pattern", "flags", "_match_memo", "_search_memo")
+    _CAP = 32768
+
+    def __init__(self, regex):
+        self._re = regex
+        self.pattern = regex.pattern
+        self.flags = regex.flags
+        self._match_memo: dict = {}
+        self._search_memo: dict = {}
+
+    def match(self, s):
+        try:
+            return self._match_memo[s]
+        except KeyError:
+            r = self._re.match(s)
+            memo = self._match_memo
+            if len(memo) < self._CAP:
+                memo[s] = r
+            return r
+
+    def search(self, s):
+        try:
+            return self._search_memo[s]
+        except KeyError:
+            r = self._re.search(s)
+            memo = self._search_memo
+            if len(memo) < self._CAP:
+                memo[s] = r
+            return r
+
+    def fullmatch(self, s):
+        return self._re.fullmatch(s)
+
+    def sub(self, repl, s, count=0):
+        return self._re.sub(repl, s, count)
+
+    def findall(self, s):
+        return self._re.findall(s)
+
+    def __reduce__(self):
+        return (_rebuild_cached_pattern, (self.pattern, self.flags))
+
+
+def _rebuild_cached_pattern(pattern: str, flags: int) -> "CachedPattern":
+    return CachedPattern(re.compile(pattern, flags))
+
+
+NEVER_MATCH = CachedPattern(re.compile(r"$^"))
 
 DEFAULT_MODEL_DIR = os.path.join(os.path.dirname(__file__), "models", "web")
 
@@ -53,7 +116,7 @@ def _type_config_value(raw: str):
     """Apply the model config typing contract: /regex/, bool, int, float,
     else plain string (reference xrenner_lex.py:392-402)."""
     if raw.startswith("/") and raw.endswith("/") and len(raw) >= 2:
-        return re.compile(raw[1:-1])
+        return CachedPattern(re.compile(raw[1:-1]))
     if raw in ("True", "False"):
         return raw == "True"
     if raw.isdigit():
@@ -148,6 +211,18 @@ class LexModel:
     # ------------------------------------------------------------------
     # token-level helpers used by the kernel
     # ------------------------------------------------------------------
+    def stop_first_words(self) -> Set[str]:
+        """Lazily-built index of the first word of every stop-list
+        n-gram.  A token whose lowered text is not in this set cannot
+        start any stop n-gram, so find_stop_zones skips its candidate
+        window entirely (the common case — pure derived cache, no
+        semantic content)."""
+        cached = self.__dict__.get("_stop_first")
+        if cached is None:
+            cached = {entry.split(" ")[0] for entry in self.stop_list}
+            self.__dict__["_stop_first"] = cached
+        return cached
+
     def lemmatize(self, text: str, pos: str) -> str:
         """Fallback lemmatizer from lemma_rules + auto_lower_lemma policy
         (reference xrenner_lex.py:436-456)."""

@@ -56,6 +56,34 @@ class CorefRule:
         # effects fire even when a later constraint would short-circuit
         self.ante_constraints.sort(key=lambda c: c.group_failure, reverse=True)
         self.rule_num = rule_num
+        # directive flags the antecedent search consults per candidate —
+        # resolved once here instead of substring-searching ante_spec in
+        # the scan loop (semantically identical to `"x" in ante_spec`)
+        spec = self.ante_spec
+        self.lookahead = "lookahead" in spec
+        self.anytext = "anytext" in spec
+        self.anyagree = "anyagree" in spec
+        self.anycardinality = "anycardinality" in spec
+        self.anyentity = "anyentity" in spec
+        self.takefirst = "takefirst" in spec
+        # whole-rule codegen: one generated function per constraint list
+        # (rule-engine analogue of whole-stage codegen — the constraint
+        # dispatch chain runs per candidate in the antecedent scan)
+        self.ana_matcher = compile_constraints(self.ana_constraints)
+        self.ante_matcher = compile_constraints(self.ante_constraints)
+
+    def __getstate__(self):
+        # generated functions don't pickle; rules ship inside the
+        # broadcast LexModel, so drop them and recompile on arrival
+        state = self.__dict__.copy()
+        state.pop("ana_matcher", None)
+        state.pop("ante_matcher", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.ana_matcher = compile_constraints(self.ana_constraints)
+        self.ante_matcher = compile_constraints(self.ante_constraints)
 
     def __repr__(self):  # pragma: no cover
         return f"{self.ana_spec} -> {self.ante_spec} ({self.max_distance}, {self.propagation})"
@@ -68,6 +96,10 @@ PROPS = frozenset({"form", "text", "agree", "entity", "subclass", "cardinality",
 
 _EXACT, _STARTS, _ENDS, _REGEX, _BOOL, _DOLLAR, _SUBSTR, _ANY = (
     "exact", "startswith", "endswith", "regex", "bool", "dollar", "substring", "any")
+
+
+def _negate(v) -> bool:
+    return not v
 
 
 class Constraint:
@@ -115,6 +147,9 @@ class Constraint:
         elif spec.startswith("last["):
             self.key = "LAST"
             self.value = spec[spec.find("[") + 1:-1]
+        # negation applicator, fixed at compile time (check() used to
+        # allocate a fresh lambda per evaluation)
+        self._op = _negate if self.negated else bool
 
     def _compile_regex(self, value: str):
         """Specialize anchor-only regexes into plain string predicates
@@ -143,8 +178,7 @@ class Constraint:
         ``doc`` carries document-scoped state: the dynamic hasa overlay and
         the per-agreement-class ``last`` register.
         """
-        op = (lambda v: not v) if self.negated else bool
-        result = self._eval(mark, lex, doc, anaphor, op)
+        result = self._eval(mark, lex, doc, anaphor, self._op)
         if result is False and self.group_failure and anaphor is not None:
             mark.non_antecdent_groups.add(anaphor.group)
         return result
@@ -250,3 +284,85 @@ def rule_applies(constraints: List[Constraint], mark, lex, doc, anaphor=None) ->
         if not constraint.check(mark, lex, doc, anaphor):
             return False
     return True
+
+
+# ----------------------------------------------------------------------
+# whole-rule codegen
+# ----------------------------------------------------------------------
+
+#: inlinable property accessors: key -> (expression, is_always_str).
+#: Mirrors mark_prop exactly; non-str-guaranteed values get a str() wrap
+#: to match _eval's ``str(mark_prop(...))``.
+_PROP_EXPR = {
+    "form": ("mark.form", True),
+    "text": ("mark.text", True),
+    "entity": ("mark.entity", True),
+    "subclass": ("mark.subclass", True),
+    "agree": ("mark.agree", False),          # may be None -> "None"
+    "cardinality": ("mark.cardinality", False),
+    "lemma": ("mark.head.lemma", True),
+    "pos": ("mark.head.pos", True),
+    "func": ("mark.head.func", True),
+    "quoted": ("mark.head.quoted", False),
+    "mood": ("mark.sentence.mood", True),
+    "speaker": ("mark.sentence.speaker", True),
+    "sentence": ('("S%d@%d" % (mark.sentence.sent_num,'
+                 ' mark.sentence.start_offset))', True),
+    "text_lower": ("(mark.core_text.lower() if mark.coordinate"
+                   " else mark.head.text_lower)", True),
+}
+
+
+def compile_constraints(constraints: List[Constraint]):
+    """Compile a constraint list into ONE generated function
+    ``fn(mark, lex, doc, anaphor) -> bool`` equivalent to
+    :func:`rule_applies` on the same list — same evaluation order, same
+    short-circuiting, same group-failure side effects.
+
+    Simple property tests (the overwhelming majority of shipped rules)
+    inline to direct attribute comparisons; anything stateful
+    ($-relative, last[], mod, has_child_func) falls back to the
+    constraint's own ``check`` so semantics are byte-identical by
+    construction.  Compiled once per rule at model load / unpickle;
+    evaluated once per (rule, candidate) in the antecedent scan — the
+    kernel's hottest inner loop."""
+    ns = {}
+    lines = ["def _matcher(mark, lex, doc, anaphor):"]
+    for i, c in enumerate(constraints):
+        kind = c.kind
+        if kind == _ANY:
+            continue
+        expr = None
+        if c.key in _PROP_EXPR and kind in (_EXACT, _STARTS, _ENDS,
+                                            _REGEX, _BOOL):
+            acc, always_str = _PROP_EXPR[c.key]
+            if kind == _BOOL:
+                expr = "%s == %r" % (acc, c.value)
+            else:
+                test = acc if always_str else "str(%s)" % acc
+                if kind == _EXACT:
+                    expr = "%s == %r" % (test, c.value)
+                elif kind == _STARTS:
+                    expr = "%s.startswith(%r)" % (test, c.value)
+                elif kind == _ENDS:
+                    expr = "%s.endswith(%r)" % (test, c.value)
+                else:  # _REGEX
+                    ns["_p%d" % i] = c.pattern
+                    expr = "_p%d.search(%s) is not None" % (i, test)
+            if c.negated:
+                expr = "not (%s)" % expr
+        if expr is not None:
+            lines.append("    if not (%s):" % expr)
+            if c.group_failure:
+                lines.append("        if anaphor is not None:")
+                lines.append("            mark.non_antecdent_groups"
+                             ".add(anaphor.group)")
+            lines.append("        return False")
+        else:
+            ns["_c%d" % i] = c
+            lines.append("    if not _c%d.check(mark, lex, doc, anaphor):"
+                         % i)
+            lines.append("        return False")
+    lines.append("    return True")
+    exec(compile("\n".join(lines), "<coref-rule>", "exec"), ns)
+    return ns["_matcher"]
