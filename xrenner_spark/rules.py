@@ -133,7 +133,10 @@ class Constraint:
                 self.kind, self.value = _DOLLAR, value
             else:
                 self.value = value
-            if self.key == "has_child_func":
+            if self.key == "has_child_func" and self.kind != _DOLLAR:
+                # $-identity on has_child_func raises in the reference
+                # (xrenner_rule.py:157), so only literal values coerce
+                # to the ;-wrapped substring test
                 self.kind = _SUBSTR
                 if not str(self.value).startswith(";"):
                     self.value = ";" + str(self.value) + ";"
@@ -221,7 +224,15 @@ class Constraint:
                 if self.group_failure and anaphor is not None:
                     mark.non_antecdent_groups.add(anaphor.group)
                 return False
-            raise ValueError("unsupported $-constraint key: " + key)
+            if key == "has_child_func":
+                # reference xrenner_rule.py:157 raises on $-identity here
+                raise ValueError(
+                    "coref rule 'has_child_func=$': not implemented")
+            # any other $-key: the reference's match() falls through all
+            # branches with test_val="" and compares it to the raw "$n"
+            # string — an always-op(False) constraint, NOT an error
+            # (xrenner_rule.py:126-165 quirk, mirrored)
+            return op("" == str(self.value))
 
         if key == "LAST":
             last_mark = doc.last.get(self.value)
@@ -245,8 +256,19 @@ class Constraint:
                 test_val = mark_prop(mark, key)
             else:
                 test_val = str(mark_prop(mark, key))
+        elif key in ("head", "child"):
+            # the reference raises on literal-value head/child tests
+            # (xrenner_rule.py:196-199)
+            raise ValueError(
+                "coref rule '%s=VAL': value match not implemented" % key)
         else:
-            raise ValueError("unsupported constraint key: " + key)
+            # unknown keys (and the bare-word constraint, key="") fall
+            # through the reference's match() with test_val="" — a bare
+            # unknown word is an always-TRUE constraint ("" == ""), an
+            # unknown key=value is always-False before negation
+            # (xrenner_rule.py:126-213 quirk, mirrored; group-failure
+            # side effects still apply via check())
+            test_val = ""
 
         if kind == _EXACT:
             return op(test_val == self.value)
@@ -263,12 +285,26 @@ class Constraint:
         return op(False)
 
 
+def sentence_repr(sentence) -> str:
+    """The reference's Sentence.__repr__ (xrenner_classes.py:299-302) —
+    the string a ``sentence=...`` constraint tests against.  ``$1``
+    equality only needs an injective id, but literal/regex constraints
+    can match mood/speaker/type inside this string, so the format is
+    mirrored byte-for-byte."""
+    mood = "(no mood info)" if sentence.mood == "" else sentence.mood
+    speaker = ("(no speaker info)" if sentence.speaker == ""
+               else sentence.speaker)
+    return ("S" + str(sentence.sent_num) + " from T"
+            + str(sentence.start_offset + 1) + ", mood: " + mood
+            + ", speaker: " + speaker + ", type: " + sentence.s_type)
+
+
 def mark_prop(mark, key: str):
     """Resolve a constraint property on a markable; head-token and sentence
     attributes are delegated the way the reference's Markable.__getattr__
     does (xrenner_classes.py:266-287)."""
     if key == "sentence":
-        return "S%d@%d" % (mark.sentence.sent_num, mark.sentence.start_offset)
+        return sentence_repr(mark.sentence)
     if key in ("mood", "speaker"):
         return getattr(mark.sentence, key)
     if key in ("lemma", "pos", "func", "quoted"):
@@ -306,8 +342,7 @@ _PROP_EXPR = {
     "quoted": ("mark.head.quoted", False),
     "mood": ("mark.sentence.mood", True),
     "speaker": ("mark.sentence.speaker", True),
-    "sentence": ('("S%d@%d" % (mark.sentence.sent_num,'
-                 ' mark.sentence.start_offset))', True),
+    "sentence": ("sentence_repr(mark.sentence)", True),
     "text_lower": ("(mark.core_text.lower() if mark.coordinate"
                    " else mark.head.text_lower)", True),
 }
@@ -326,7 +361,7 @@ def compile_constraints(constraints: List[Constraint]):
     construction.  Compiled once per rule at model load / unpickle;
     evaluated once per (rule, candidate) in the antecedent scan — the
     kernel's hottest inner loop."""
-    ns = {}
+    ns = {"sentence_repr": sentence_repr}
     lines = ["def _matcher(mark, lex, doc, anaphor):"]
     for i, c in enumerate(constraints):
         kind = c.kind
