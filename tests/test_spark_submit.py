@@ -27,6 +27,49 @@ def _build_zip(zpath):
                 zf.write(full, os.path.relpath(full, REPO))
 
 
+def test_spark_submit_local_cluster(tmp_path):
+    """The same submission under ``local-cluster[2,4,4096]`` — unlike
+    local[N] (one JVM sharing the driver's filesystem view and heap),
+    local-cluster spawns REAL separate executor processes with their own
+    block managers, python workers, and broadcast transport, so it
+    exercises every ship-path assumption a multi-node cluster would
+    (zip-shipped package + bundled model, torrent broadcast of the lex,
+    executor-side parquet commit protocol).  Triples must be row-equal
+    to a plain local[4] run on the identical synthesized input."""
+    import duckdb
+
+    zpath = str(tmp_path / "xkg.zip")
+    _build_zip(zpath)
+    job = str(tmp_path / "run_kg.py")
+    shutil.copy(os.path.join(REPO, "jobs", "run_kg.py"), job)
+
+    spark_home = os.path.dirname(pyspark.__file__)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["SPARK_HOME"] = spark_home      # worker launch needs it
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def submit(master, warehouse):
+        proc = subprocess.run(
+            [os.path.join(spark_home, "bin", "spark-submit"),
+             "--master", master,
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+             "--py-files", zpath, job,
+             "--synthesize", "120", "--warehouse", warehouse],
+            cwd=str(tmp_path), capture_output=True, text=True, timeout=540,
+            env=env)
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return sorted(duckdb.sql(
+            "SELECT * FROM read_parquet('%s/triples/*.parquet')"
+            % warehouse).fetchall())
+
+    clustered = submit("local-cluster[2,4,4096]", str(tmp_path / "wh_lc"))
+    local = submit("local[4]", str(tmp_path / "wh_l4"))
+    assert clustered and clustered == local
+
+
 def test_spark_submit_py_files(tmp_path):
     zpath = str(tmp_path / "xkg.zip")
     _build_zip(zpath)
