@@ -90,7 +90,8 @@ class Markable:
                  "alt_entities", "alt_subclasses", "cardinality", "submarks",
                  "coordinate", "length", "mod_count", "killed", "matching_rule",
                  "entity_dep_scores", "entity_sim_dep_scores", "lex_dep_scores",
-                 "lex_sim_dep_scores", "_child_func_string", "isa", "isa_dir")
+                 "lex_sim_dep_scores", "_child_func_string", "isa", "isa_dir",
+                 "retro_src")
 
     def __init__(self, mark_id: int, head: Token, form: str, definiteness: str,
                  start: int, end: int, text: str, core_text: str, entity: str,
@@ -131,6 +132,11 @@ class Markable:
         self.length = self.text.count(" ") + 1
         self.mod_count = len(self.head.modifiers)
         self.killed = False  # postprocessing removal flag (reference id="0")
+        # giant-doc windowing: highest start position of a mention whose
+        # propagation MUTATED this markable's entity/subclass/agree after
+        # resolution (-1 = never) — lets the windowed stitcher retro-apply
+        # backward propagation onto already-emitted context mentions
+        self.retro_src = -1
         self.matching_rule: Optional[int] = None
         # dependency / similarity score maps filled by fill_dep_scores()
         self.entity_dep_scores: Dict[str, int] = {}
@@ -384,6 +390,13 @@ class DocState:
         self.dump_headers: List[str] = []
         self.dump_types: Set[str] = set()
         self.lemma_total = 0.0
+        # giant-doc window seeding (engine.analyze_document_windowed):
+        # parse-time state captured at the NEXT window's context-start
+        # sentence so it can be carried forward exactly
+        self._hasa_snap_tid = None       # first token id of the boundary sentence
+        self._hasa_snap = None           # hasa_overlay copy at that boundary
+        self._boundary_quoted = None     # open-quote flag at that boundary
+        self._boundary_speaker = None    # use_speaker_rules latch at it
 
     # -- dynamic hasa: read-through overlay over the broadcast base -----
     def hasa_possessed(self, possessor: str) -> Dict[str, int]:

@@ -65,9 +65,11 @@ def agree_compatible(mark1: Markable, mark2: Markable, lex) -> bool:
         return False
     if mark1.agree in mark2.alt_agree:
         mark2.agree = mark1.agree
+        _mark_retro(mark2, mark1)
         return True
     if mark2.agree in mark1.alt_agree:
         mark1.agree = mark2.agree
+        _mark_retro(mark1, mark2)
         return True
     empty1 = mark1.agree is None or mark1.agree == ""
     empty2 = mark2.agree is None or mark2.agree == ""
@@ -230,21 +232,26 @@ def merge_entities(mark1: Markable, mark2: Markable, previous_markables, lex,
     """(reference xrenner_compatible.py:216-244)"""
     if mark1.entity == mark2.entity:
         return True
+    src = max(mark1.start, mark2.start)  # the resolving (later) mention
     if mark1.entity in mark2.alt_entities:
-        if update_group(mark2, mark1, previous_markables, lex, doc):
+        if update_group(mark2, mark1, previous_markables, lex, doc,
+                        src_start=src):
             mark2.entity = mark1.entity
             mark2.subclass = mark1.subclass
+            _mark_retro(mark2, mark1)
             return True
         return False
-    if update_group(mark1, mark2, previous_markables, lex, doc):
+    if update_group(mark1, mark2, previous_markables, lex, doc,
+                    src_start=src):
         mark1.entity = mark2.entity
         mark1.subclass = mark2.subclass
+        _mark_retro(mark1, mark2)
         return True
     return False
 
 
 def update_group(host: Markable, model: Markable, previous_markables, lex,
-                 doc: DocState) -> bool:
+                 doc: DocState, src_start: int = -1) -> bool:
     """Whole-group veto then group-wide entity overwrite
     (reference xrenner_compatible.py:247-270)."""
     group = host.group
@@ -256,6 +263,8 @@ def update_group(host: Markable, model: Markable, previous_markables, lex,
         if markable.group == group:
             markable.entity = model.entity
             markable.subclass = model.subclass
+            if src_start > markable.retro_src:
+                markable.retro_src = src_start
     return True
 
 
@@ -449,21 +458,34 @@ def acronym_match(mark: Markable, candidate: Markable, lex) -> bool:
 # propagation (reference xrenner_propagate.py)
 # ----------------------------------------------------------------------
 
+def _mark_retro(target: Markable, source: Markable):
+    """Record that ``source``'s resolution mutated ``target`` — consumed
+    only by the giant-doc windowed stitcher (engine) to retro-apply
+    backward propagation onto context mentions already emitted by a
+    previous window."""
+    if source.start > target.retro_src:
+        target.retro_src = source.start
+
+
 def propagate_agree(markable: Markable, candidate: Markable):
     if (candidate.agree in ("", None)) and markable.agree not in ("", None):
         candidate.agree = markable.agree
+        _mark_retro(candidate, markable)
     else:
         markable.agree = candidate.agree
+        _mark_retro(markable, candidate)
 
 
 def propagate_entity(markable: Markable, candidate: Markable, direction: str = "propagate"):
     if direction == "propagate_forward":
+        _mark_retro(markable, candidate)
         markable.entity = candidate.entity
         markable.subclass = candidate.subclass
         markable.entity_certainty = "propagated"
         propagate_agree(candidate, markable)
         return
     if direction == "propagate_back":
+        _mark_retro(candidate, markable)
         candidate.entity = markable.entity
         candidate.subclass = markable.subclass
         candidate.entity_certainty = "propagated"
@@ -472,37 +494,44 @@ def propagate_entity(markable: Markable, candidate: Markable, direction: str = "
     # default: flow from the more certain / nominal side
     if markable.form == "pronoun" and candidate.entity_certainty != "uncertain" \
             and candidate.form != "pronoun":
+        _mark_retro(markable, candidate)
         markable.entity = candidate.entity
         markable.subclass = candidate.subclass
         propagate_agree(candidate, markable)
         markable.entity_certainty = "propagated"
     elif candidate.form == "pronoun" and markable.entity_certainty != "uncertain" \
             and markable.form != "pronoun":
+        _mark_retro(candidate, markable)
         candidate.entity = markable.entity
         candidate.subclass = markable.subclass
         candidate.entity_certainty = "propagated"
         propagate_agree(markable, candidate)
     elif candidate.entity_certainty == "uncertain":
+        _mark_retro(candidate, markable)
         candidate.entity = markable.entity
         candidate.subclass = markable.subclass
         candidate.entity_certainty = "propagated"
         propagate_agree(markable, candidate)
     elif markable.entity_certainty == "uncertain":
+        _mark_retro(markable, candidate)
         markable.entity = candidate.entity
         markable.subclass = candidate.subclass
         markable.entity_certainty = "propagated"
         propagate_agree(candidate, markable)
     elif markable.entity != candidate.entity and markable.entity in candidate.alt_entities:
+        _mark_retro(candidate, markable)
         candidate.entity = markable.entity
         candidate.subclass = markable.subclass
         candidate.entity_certainty = "certain"
         propagate_agree(markable, candidate)
     elif markable.entity != candidate.entity and candidate.entity in markable.alt_entities:
+        _mark_retro(markable, candidate)
         markable.entity = candidate.entity
         markable.subclass = candidate.subclass
         markable.entity_certainty = "certain"
         propagate_agree(candidate, markable)
     else:
+        _mark_retro(candidate, markable)
         candidate.entity = markable.entity
         candidate.subclass = markable.subclass
         candidate.entity_certainty = "propagated"

@@ -35,7 +35,7 @@ def _block_token_count(block: str) -> int:
 def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
                               max_sentences: int = 500,
                               pre_rewritten: bool = False,
-                              overlap: int = 100) -> "DocResult":
+                              overlap: int = None) -> "DocResult":
     """Giant-document guard: documents longer than ``max_sentences`` are
     split into sentence windows, each analyzed with the preceding
     ``overlap`` sentences prepended as read-only context, then stitched:
@@ -43,13 +43,19 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
     rebased document-global and chain groups mapped onto the previous
     windows' groups wherever a context mention anchors them.
 
-    ``overlap`` defaults to 100 — the longest max-sentence-distance any
-    shipped coref rule uses — so every antecedent scan at a window
-    boundary sees the full range any rule can reach; residual divergence
-    vs the exact path is limited to state with unbounded lookback (the
-    ``last[]`` register, dynamic hasa learned > ``overlap`` sentences
-    back, verbal-event antecedent scans), measured at ≤0.3% of mention
-    fields on the adversarial sweep (scripts/parity_sweep_adversarial).
+    ``overlap`` defaults to max(100, the longest max-sentence-distance
+    any LOADED coref rule uses) — so every antecedent scan at a window
+    boundary sees the full range any rule can reach, whatever model is
+    in play (the shipped models max out at 100).  Cross-sentence PARSE
+    state (open-quote flag, the use_speaker_rules latch, the dynamic
+    hasa overlay) is captured at each next window's context-start
+    sentence and seeded forward, so it is EXACT regardless of distance.
+    Residual divergence vs the exact path is therefore limited to
+    RESOLUTION state with unbounded lookback — coref propagation chains
+    spanning > ``overlap`` sentences, the ``last[]`` register (unused by
+    shipped models), and the verbal-event antecedent scan over the whole
+    document prefix — see COVERAGE.md "giant-document bound" for the
+    proof and scripts/parity_sweep_adversarial.py for the measured rate.
     This bounds worst-case task latency and memory on pathological pages
     (SURVEY.md §7.2 risk 3: the one place salting cannot fix skew,
     because one document is one kernel call).  Documents at or under the
@@ -60,6 +66,19 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
     blocks = [b for b in conllu_text.replace("\r", "").split("\n\n") if b.strip()]
     if len(blocks) <= max_sentences:
         return analyze_document(doc_id, conllu_text, lex, pre_rewritten=True)
+    if overlap is None:
+        max_rule_dist = max(
+            (r.max_distance for r in
+             list(lex.speaker_rules) + list(lex.non_speaker_rules)),
+            default=0)
+        overlap = max(100, max_rule_dist)
+    if overlap >= max_sentences:
+        # a rule reaches further than one window: grow the window so the
+        # context invariant (overlap < window) holds
+        max_sentences = 5 * overlap
+        if len(blocks) <= max_sentences:
+            return analyze_document(doc_id, conllu_text, lex,
+                                    pre_rewritten=True)
 
     block_toks = [_block_token_count(b) for b in blocks]
     tokens: List[dict] = []
@@ -70,11 +89,22 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
     n_tokens = 0
     group_base = 0
     prev_group_of_span: Dict[str, int] = {}   # global span -> global group
+    emitted_by_span: Dict[str, dict] = {}     # global span -> emitted row
 
+    seed = None
     for w in range(0, len(blocks), max_sentences):
         ctx = min(overlap, w)
         window = "\n\n".join(blocks[w - ctx:w + max_sentences])
-        part = analyze_document(doc_id, window, lex, pre_rewritten=True)
+        next_w = w + max_sentences
+        boundary_sent = None
+        if next_w < len(blocks):
+            # local 1-based sentence index where the NEXT window's
+            # context will start — parse state is snapshotted there
+            boundary_sent = (next_w - min(overlap, next_w)) - (w - ctx) + 1
+        part = analyze_document(doc_id, window, lex, pre_rewritten=True,
+                                seed_state=seed,
+                                boundary_sent=boundary_sent)
+        seed = part.boundary_state
         n_ctx_tokens = sum(block_toks[w - ctx:w])
         delta = n_tokens - n_ctx_tokens       # window-local tid -> global
         sent_delta = n_sentences - ctx
@@ -90,26 +120,67 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
             tokens.append(tok)
 
         kept = [m for m in part.mentions if m["start"] > n_ctx_tokens]
-        # verbal-event antecedents may be created AT a context verb token;
-        # emit any such mark a kept mention references, so antecedent
-        # spans always resolve
+        # marks may be CREATED at context positions by this window's
+        # resolution of the kept region: verbal-event antecedents (made
+        # at a context verb token) and apposition envelopes (made in
+        # postprocess when a kept anaphor links through a context appos
+        # pair).  Emit any such mark a kept mention references — normal
+        # context antecedents are already in emitted_by_span and are
+        # skipped, so this only fills spans that would otherwise dangle.
         referenced = {m["antecedent"] for m in kept if m["antecedent"]}
-        emitted_spans = {m["mark_id"] for m in mentions}
         for m in part.mentions:
-            if m["start"] <= n_ctx_tokens and m["form"] == "verbal":
-                if m["mark_id"] in referenced and \
-                        "%d_%d" % (m["start"] + delta, m["end"] + delta) \
-                        not in emitted_spans:
-                    kept.append(m)
+            if m["start"] <= n_ctx_tokens and m["mark_id"] in referenced \
+                    and "%d_%d" % (m["start"] + delta, m["end"] + delta) \
+                    not in emitted_by_span:
+                kept.append(m)
+
+        # retro-propagation: an anaphor in the KEPT region that links to a
+        # context mention mutates it (entity/subclass/agree flow backward,
+        # reference xrenner_propagate.py) — the reference applies that in
+        # its single pass, so rewrite the already-emitted row with the
+        # re-resolved values.  Only mentions whose mutation SOURCE lies in
+        # the kept region are touched: context-internal re-resolution must
+        # not overwrite values that were computed with more left context.
+        retro = part.retro_spans or {}
+        for m in part.mentions:
+            if m["start"] <= n_ctx_tokens and \
+                    retro.get(m["mark_id"], -1) > n_ctx_tokens:
+                row = emitted_by_span.get(
+                    "%d_%d" % (m["start"] + delta, m["end"] + delta))
+                if row is not None:
+                    for key in ("entity", "subclass", "agree", "agree_raw"):
+                        row[key] = m[key]
 
         # group stitching: a window-local group anchored by a context
-        # mention keeps that mention's already-assigned global group
+        # mention keeps that mention's already-assigned global group; if
+        # one window-local group is anchored by context mentions from TWO
+        # different global groups, a kept anaphor merged those chains —
+        # union the emitted groups the way the reference's single pass
+        # would have
         group_map: Dict[int, int] = {}
+        merges: Dict[int, int] = {}
+
+        def _find(g: int) -> int:
+            while g in merges:
+                g = merges[g]
+            return g
+
         for m in part.mentions:
-            if m["start"] <= n_ctx_tokens and m["group_id"] not in group_map:
+            if m["start"] <= n_ctx_tokens:
                 span = "%d_%d" % (m["start"] + delta, m["end"] + delta)
                 if span in prev_group_of_span:
-                    group_map[m["group_id"]] = prev_group_of_span[span]
+                    g_prev = _find(prev_group_of_span[span])
+                    if m["group_id"] not in group_map:
+                        group_map[m["group_id"]] = g_prev
+                    else:
+                        g_kept = _find(group_map[m["group_id"]])
+                        if g_kept != g_prev:
+                            merges[g_prev] = g_kept
+        if merges:
+            for row in mentions:
+                row["group_id"] = _find(row["group_id"])
+            for span, g in prev_group_of_span.items():
+                prev_group_of_span[span] = _find(g)
 
         max_group = 0
         for m in kept:
@@ -128,6 +199,7 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
             m["group_id"] = group_map.get(m["group_id"],
                                           group_base + m["group_id"])
             prev_group_of_span[m["mark_id"]] = m["group_id"]
+            emitted_by_span[m["mark_id"]] = m
             mentions.append(m)
         group_base += max_group
         n_tokens += part.n_tokens - n_ctx_tokens
@@ -143,7 +215,8 @@ class DocResult:
     """Kernel output for one document."""
 
     __slots__ = ("doc_id", "tokens", "mentions", "n_sentences", "n_tokens",
-                 "dump_rows", "dump_headers")
+                 "dump_rows", "dump_headers", "boundary_state",
+                 "retro_spans")
 
     def __init__(self, doc_id, tokens, mentions, n_sentences, n_tokens,
                  dump_rows=None, dump_headers=None):
@@ -155,16 +228,24 @@ class DocResult:
         # training-data dump sink rows (populated when lex.dump is set)
         self.dump_rows = dump_rows if dump_rows is not None else []
         self.dump_headers = dump_headers if dump_headers is not None else []
+        # windowed path only: parse-time state at the next window's
+        # context-start sentence (None on the exact path)
+        self.boundary_state = None
+        # windowed path only: local mention span -> highest start position
+        # of a mention whose propagation mutated it after resolution
+        self.retro_spans = None
 
 
 def analyze_document(doc_id: str, conllu_text: str, lex,
-                     pre_rewritten: bool = False) -> DocResult:
+                     pre_rewritten: bool = False, seed_state=None,
+                     boundary_sent=None) -> DocResult:
     # depedit pre-rewriting runs before any parsing, exactly where the
     # reference invokes it (xrenner_xrenner.py:108-109); pre_rewritten
     # lets the Spark pipeline rewrite once for kernel + verb extraction
     if lex.depedit is not None and not pre_rewritten:
         conllu_text = lex.depedit.run(conllu_text)
-    doc = parsing.read_document(conllu_text, lex)
+    doc = parsing.read_document(conllu_text, lex, seed_state=seed_state,
+                                boundary_sent=boundary_sent)
     doc.docname = doc_id   # feature dumps carry the document name
     f = lex.filters
 
@@ -207,7 +288,21 @@ def analyze_document(doc_id: str, conllu_text: str, lex,
     from .postprocess import postprocess_coref
     postprocess_coref(doc)
 
-    return _serialize(doc_id, doc)
+    result = _serialize(doc_id, doc)
+    if boundary_sent is not None:
+        result.boundary_state = {
+            "quoted": doc._boundary_quoted,
+            "use_speaker_rules": doc._boundary_speaker,
+            "hasa": doc._hasa_snap if doc._hasa_snap is not None else {},
+        }
+    if boundary_sent is not None or seed_state is not None:
+        # windowed call: report which mentions were mutated by a LATER
+        # mention's propagation, so the stitcher can retro-apply backward
+        # propagation onto context mentions already emitted
+        result.retro_spans = {
+            "%d_%d" % (m.start, m.end): m.retro_src
+            for m in doc.markables if m.retro_src >= 0}
+    return result
 
 
 # ----------------------------------------------------------------------

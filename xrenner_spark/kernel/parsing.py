@@ -18,8 +18,16 @@ from .classes import DocState, Sentence, Token
 _NAME_INITIAL = re.compile(r"^[A-Z]\.$")
 
 
-def read_document(conllu_text: str, lex) -> DocState:
-    """Parse a whole CoNLL-U document into tokens + sentences."""
+def read_document(conllu_text: str, lex, seed_state=None,
+                  boundary_sent=None) -> DocState:
+    """Parse a whole CoNLL-U document into tokens + sentences.
+
+    ``seed_state``/``boundary_sent`` serve the giant-document windowed
+    path (engine.analyze_document_windowed): cross-sentence PARSE state
+    (open-quote flag, the use_speaker_rules latch, the dynamic-hasa
+    overlay) is seeded from the previous window and captured at the next
+    window's context-start sentence, so windows see exactly the state the
+    exact path would have — see COVERAGE.md "giant-document bound"."""
     doc = DocState(lex)
     f = lex.filters
     clean = conllu_text.replace("\r", "")
@@ -31,7 +39,16 @@ def read_document(conllu_text: str, lex) -> DocState:
     tokoffset = 0
     sentlength = 0
     quoted = False
+    if seed_state is not None:
+        quoted = seed_state["quoted"]
+        doc.use_speaker_rules = seed_state["use_speaker_rules"]
+        doc.hasa_overlay = {k: dict(v)
+                            for k, v in seed_state["hasa"].items()}
     current = Sentence(sent_num, tokoffset)
+    if boundary_sent == 1:  # degenerate: context starts at the window start
+        doc._boundary_quoted = quoted
+        doc._boundary_speaker = doc.use_speaker_rules
+        doc._hasa_snap_tid = 1
     lemmas: List[str] = []
     s_texts: List[str] = []
 
@@ -124,6 +141,13 @@ def read_document(conllu_text: str, lex) -> DocState:
             doc.sentences.append(current)
             current = Sentence(sent_num, tokoffset)
             sentlength = 0
+            if sent_num == boundary_sent:
+                # state as of the start of this sentence, BEFORE its own
+                # comments/tokens — exactly what a window whose context
+                # begins here must be seeded with
+                doc._boundary_quoted = quoted
+                doc._boundary_speaker = doc.use_speaker_rules
+                doc._hasa_snap_tid = tokoffset + 1
 
     if sentlength > 0:
         current.length = sentlength
@@ -213,6 +237,12 @@ def attach_modifiers_and_learn_hasa(doc: DocState, tokoffset: int, upto: int):
     """Modifier attachment + dynamic possession learning (reference
     xrenner_xrenner.py:446-463).  The reference mutates the shared lexicon's
     hasa table; we keep the counts in the document-scoped overlay."""
+    if doc._hasa_snap_tid is not None and doc._hasa_snap is None \
+            and tokoffset + 1 >= doc._hasa_snap_tid:
+        # per-sentence calls arrive in order, so the first range starting
+        # at/after the boundary sentence carries the overlay state the
+        # next window's seed needs (contributions from sentences < it)
+        doc._hasa_snap = {k: dict(v) for k, v in doc.hasa_overlay.items()}
     f = doc.lex.filters
     mod_re = f["mod_func"]
     poss_re = f["possessive_func"]
