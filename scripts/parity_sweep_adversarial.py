@@ -215,8 +215,15 @@ def main():
     # state seeding, retro-propagation, and cross-window group merging
     # are all exercised.  Gate: <=0.01% mention-field divergence (the
     # r4 bound was 0.3% / measured 0.027%; the r5 seeding + retro pass
-    # measured 0 on this set — see COVERAGE.md "giant-document bound").
-    total_fields = diverged_fields = 0
+    # measured 1 stable field — see COVERAGE.md "giant-document bound").
+    # Tie-aware like fuzz_kernel/parity_sweep: the reference resolves
+    # score-tied antecedents by iterating an address-hashed set(), so a
+    # span's reading can flip across reference PROCESSES (measured: the
+    # same doc-10 span diverges in some runs and matches in others).  A
+    # divergent span only counts if a heap-perturbed reference re-run
+    # never produces our reading.
+    total_fields = diverged_fields = tie_tolerated = 0
+    import random as _random
     lengths = [650, 650, 650, 650, 1100, 1100, 1100, 1100,
                1700, 1700, 2600, 2600]
     for i, n_sents in enumerate(lengths):
@@ -224,21 +231,34 @@ def main():
         theirs = ref_mentions(doc)
         mine = my_mentions(doc, lex, windowed=True, max_sentences=500)
         spans = set(theirs) | set(mine)
-        for span in spans:
-            total_fields += 1
-            if theirs.get(span) != mine.get(span):
-                diverged_fields += 1
-                if diverged_fields <= 5:
-                    print("windowed DIVERGE doc=%d len=%d span=%s\n"
-                          " ref : %s\n ours: %s"
-                          % (i, n_sents, span, theirs.get(span),
-                             mine.get(span)))
+        total_fields += len(spans)
+        bad = {s for s in spans if theirs.get(s) != mine.get(s)}
+        if bad:
+            pad_rng = _random.Random(i * 1_000_003)
+            for _retry in range(4):
+                if not bad:
+                    break
+                _pad = ["x" * pad_rng.randrange(16, 4096)
+                        for _ in range(pad_rng.randrange(1, 64))]
+                again = ref_mentions(doc)
+                del _pad
+                matched = {s for s in bad if again.get(s) == mine.get(s)}
+                tie_tolerated += len(matched)
+                bad -= matched
+        for span in sorted(bad):
+            diverged_fields += 1
+            if diverged_fields <= 5:
+                print("windowed DIVERGE doc=%d len=%d span=%s\n"
+                      " ref : %s\n ours: %s"
+                      % (i, n_sents, span, theirs.get(span),
+                         mine.get(span)))
     rate = 100.0 * diverged_fields / max(total_fields, 1)
     print("windowed  %d docs (650-2600 sents): %d/%d mentions diverge "
-          "(%.4f%%) — overlap-stitched windows + seeded parse state + "
-          "retro-propagation; residual = resolution state with unbounded "
-          "lookback only" % (len(lengths), diverged_fields, total_fields,
-                             rate))
+          "(%.4f%%), %d tie-tolerated — overlap-stitched windows + seeded "
+          "parse state + retro-propagation; residual = resolution state "
+          "with unbounded lookback only" % (len(lengths), diverged_fields,
+                                            total_fields, rate,
+                                            tie_tolerated))
     if rate > 0.01:
         failures.append("windowed-bound")
 
