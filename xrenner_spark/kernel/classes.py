@@ -108,9 +108,10 @@ class Markable:
         self.start = start
         self.end = end
         self.text = text.strip()
-        self.core_text = core_text.strip()
-        self.first = self.core_text.split(" ")[0]
-        self.last = self.core_text.split(" ")[-1]
+        core = core_text.strip()
+        self.core_text = core
+        self.first = core.partition(" ")[0]
+        self.last = core.rpartition(" ")[2]
         self.entity = entity
         self.subclass = subclass
         self.infstat = infstat

@@ -154,11 +154,12 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
     # prune by agreement->entity mapping and person/no_person_agree clashes
     # (reference xrenner_coref.py:124-137)
     person = f["person_def_entity"]
+    agree_entity_items = f["agree_entity_mapping"].items()
     to_remove = []
     last_pruned_iter = None
     for cand in candidates:
         last_pruned_iter = cand
-        for agree, ent in f["agree_entity_mapping"].items():
+        for agree, ent in agree_entity_items:
             if markable.agree == agree and cand.entity != ent:
                 to_remove.append(cand)
         if cand.entity == person and (cand.form != "pronoun"

@@ -353,7 +353,8 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
             continue
         mark = make_markable(tok, doc, descendants, tokoffset, sentence,
                              keys_to_pop, upto)
-        mark_candidates[str(tok.tid)] = mark
+        tid_key = str(tok.tid)
+        mark_candidates[tid_key] = mark
 
         # coordination: a small markable for the first conjunct plus a big
         # composite envelope (reference xrenner_xrenner.py:564-613)
@@ -379,7 +380,7 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
                 if f["coord_func"].match(child.func):
                     if child.tid in descendants.get(tok.tid, []):
                         descendants[tok.tid].remove(child.tid)
-            big = mark_candidates[str(tok.tid)]
+            big = mark_candidates[tid_key]
             big.cardinality = cardi + 1
             small = make_markable(tok, doc, descendants, tokoffset, sentence,
                                   keys_to_pop, upto)
@@ -389,8 +390,8 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
                 big.agree_certainty = "coordinate_aggregate_plural"
                 big.coordinate = True
             if all(is_eligible_submark_head(toks[m]) for m in big.submarks):
-                mark_candidates[str(tok.tid) + submark_id] = big
-            mark_candidates[str(tok.tid)] = small
+                mark_candidates[tid_key + submark_id] = big
+            mark_candidates[tid_key] = small
 
     # atomicity: atomic spans suppress nested candidates
     # (reference xrenner_xrenner.py:616-637)
@@ -399,8 +400,9 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
             mod_hit = recognize_entity_by_mod(mark, lex, True)
             mod_atomic = mod_hit is not None and mod_hit[2]
             if is_atomic(mark, lex) or (mod_atomic and "_" not in mark_id):
+                head_key = str(mark.head.tid)
                 for key in mark_candidates:
-                    if key != str(mark.head.tid) and "_" not in key \
+                    if key != head_key and "_" not in key \
                             and mark.start <= int(key) <= mark.end:
                         if f["pronoun_pos"].match(toks[int(key)].pos) is None:
                             keys_to_pop.append(key)

@@ -47,7 +47,7 @@ def analyze_markable(mark: Markable, doc: DocState):
         morph_lower = tok.morph.lower()
         if "def" in morph_lower and "indef" not in morph_lower:
             mark.definiteness = "def"
-            tok.morph = re.sub("def", "_", tok.morph)  # don't leak into agreement
+            tok.morph = tok.morph.replace("def", "_")  # don't leak into agreement
         else:
             article_candidates = [tok.text, mark.text.split(" ")[0]] + tok.child_strings
             has_def_article = any(f["definite_articles"].match(c) is not None

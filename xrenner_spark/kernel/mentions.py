@@ -57,30 +57,49 @@ def replace_head_with_lemma(mark: Markable) -> str:
 # predicates
 # ----------------------------------------------------------------------
 
+_POS_FUNC_CACHE: dict = {}
+
+
 def pos_func_combo(pos: str, func: str, pos_func_heads: str) -> bool:
     """'POS!func' exception-list mini-language (xrenner_marker.py:698-711):
     POS+func whitelists a combo, POS!func blacklists it with the POS
-    otherwise allowed."""
-    entries = pos_func_heads.split(";")
+    otherwise allowed.  The setting string is parsed once per distinct
+    value (model-constant) instead of split per call in the
+    head-candidate hot loop; results are identical by construction."""
+    parsed = _POS_FUNC_CACHE.get(pos_func_heads)
+    if parsed is None:
+        entries = frozenset(pos_func_heads.split(";"))
+        bang_pos = frozenset(e.split("!", 1)[0] for e in entries if "!" in e)
+        parsed = (entries, bang_pos)
+        if len(_POS_FUNC_CACHE) < 64:
+            _POS_FUNC_CACHE[pos_func_heads] = parsed
+    entries, bang_pos = parsed
     if pos + "+" + func in entries:
         return True
     if pos + "!" + func in entries:
         return False
-    return pos_func_heads.find(";" + pos + "!") > -1 or pos_func_heads.startswith(pos + "!")
+    return pos in bang_pos
 
 
 def markables_overlap(mark1: Markable, mark2: Markable, lex=None) -> bool:
     """Span intersection, tolerating possessive pronouns inside earlier
-    spans (xrenner_marker.py:625-647)."""
+    spans (xrenner_marker.py:625-647).
+
+    The pure-int span test runs first: the possessive exception can only
+    turn a True into a False, so non-intersecting pairs (the common case
+    in the antecedent scan) skip both regex probes entirely."""
+    if not (mark2.end >= mark1.start >= mark2.start
+            or mark2.end >= mark1.end >= mark2.start):
+        return False
     if lex is not None:
-        if (lex.filters["possessive_func"].match(mark1.func) is not None
-                and mark1.form == "pronoun" and mark1.start > mark2.start):
+        possessive_match = lex.filters["possessive_func"].match
+        if (mark1.form == "pronoun" and mark1.start > mark2.start
+                and possessive_match(mark1.head.func) is not None):
             return False
-        if (lex.filters["possessive_func"].match(mark2.func) is not None
-                and mark2.form == "pronoun" and mark2.start > mark1.start):
+        if (mark2.form == "pronoun" and mark2.start > mark1.start
+                and possessive_match(mark2.head.func) is not None):
             return False
-    return (mark2.end >= mark1.start >= mark2.start
-            or mark2.end >= mark1.end >= mark2.start)
+    return True
 
 
 def is_atomic(mark: Markable, lex) -> bool:

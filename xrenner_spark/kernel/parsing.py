@@ -104,14 +104,18 @@ def read_document(conllu_text: str, lex, seed_state=None,
                 current.mood = "question"
             tok_func = cols[7]
             pos = cols[3]
-            if pos in func_subs_fwd and int(cols[6]) > int(cols[0]):
+            # one int conversion per column (was up to three each); a
+            # non-numeric id/head column raises ValueError either way
+            ihead = int(cols[6])
+            itid = int(cols[0])
+            if pos in func_subs_fwd and ihead > itid:
                 sub = func_subs_fwd[pos]
                 tok_func = re.sub(sub[0], sub[1], cols[7])
-            elif pos in func_subs_bwd and int(cols[6]) < int(cols[0]):
+            elif pos in func_subs_bwd and ihead < itid:
                 sub = func_subs_bwd[pos]
                 tok_func = re.sub(sub[0], sub[1], cols[7])
-            tid = int(cols[0]) + tokoffset
-            head = 0 if cols[6] == "0" else int(cols[6]) + tokoffset
+            tid = itid + tokoffset
+            head = 0 if cols[6] == "0" else ihead + tokoffset
             lemma = cols[2].strip()
             if lemma in ("_", "--"):
                 lemma = lex.lemmatize(text.strip(), pos)
@@ -121,7 +125,7 @@ def read_document(conllu_text: str, lex, seed_state=None,
             tok = Token(tid, text, lemma, pos, morph, head, tok_func, current,
                         quoted, cols[8], cols[9])
             if seq_preds is not None:
-                tok.seq_pred = seq_preds[int(cols[0]) + tokoffset - 1]
+                tok.seq_pred = seq_preds[tid - 1]
             doc.tokens.append(tok)
             sentlength += 1
             # children only via span-linking functions (markable propagation)
@@ -131,7 +135,7 @@ def read_document(conllu_text: str, lex, seed_state=None,
                     doc.children.setdefault(head, []).append(tid)
             # func/string accumulation keys on raw head+offset, like the
             # reference (root funcs land on the offset token — kept as-is)
-            raw_head_key = int(cols[6]) + tokoffset
+            raw_head_key = ihead + tokoffset
             doc.child_funcs.setdefault(raw_head_key, []).append(tok_func)
             doc.child_strings.setdefault(raw_head_key, []).append(text)
         elif sentlength > 0:
@@ -505,24 +509,38 @@ def find_stop_zones(doc: DocState, tokoffset: int, upto: int,
     def titled(text):
         return text.title() if text.isupper() else text
 
-    # adjacent first+last name pairs: the first name can't stand alone
+    first_names = lex.first_names
+    last_names = lex.last_names
+    # adjacent first+last name pairs: the first name can't stand alone.
+    # Conditions evaluate lazily (first-name gate before touching tok2)
+    # — pure reordering of a side-effect-free conjunction
     for tok1 in toks[tokoffset + 1:upto]:
+        first_cand = titled(tok1.text)
+        if cap_names and not first_cand[:1].isupper():
+            continue
+        if first_cand not in first_names:
+            continue
         tok2 = toks[tok1.tid + 1]
-        first_cand, last_cand = titled(tok1.text), titled(tok2.text)
-        if not cap_names or (first_cand[:1].isupper() and last_cand[:1].isupper()):
-            if (first_cand in lex.first_names and last_cand in lex.last_names
-                    and tok1.head == tok2.tid):
-                stop_ids[tok1.tid] = True
+        last_cand = titled(tok2.text)
+        if cap_names and not last_cand[:1].isupper():
+            continue
+        if last_cand in last_names and tok1.head == tok2.tid:
+            stop_ids[tok1.tid] = True
     # same with one intervening token (middle name or initial)
     for tok1 in toks[tokoffset + 1:upto - 1]:
+        first_cand = titled(tok1.text)
+        if cap_names and not first_cand[:1].isupper():
+            continue
+        if first_cand not in first_names:
+            continue
         tok2 = toks[tok1.tid + 2]
-        first_cand, last_cand = titled(tok1.text), titled(tok2.text)
-        middle = toks[tok1.tid + 1].text
-        middle_cand = middle.title() if tok1.text.isupper() else middle
-        if not cap_names or (first_cand[:1].isupper() and last_cand[:1].isupper()):
-            if (first_cand in lex.first_names and last_cand in lex.last_names
-                    and tok1.head == tok2.tid
-                    and (_NAME_INITIAL.match(middle_cand) or middle_cand in lex.first_names)):
+        last_cand = titled(tok2.text)
+        if cap_names and not last_cand[:1].isupper():
+            continue
+        if last_cand in last_names and tok1.head == tok2.tid:
+            middle = toks[tok1.tid + 1].text
+            middle_cand = middle.title() if tok1.text.isupper() else middle
+            if _NAME_INITIAL.match(middle_cand) or middle_cand in first_names:
                 stop_ids[tok1.tid] = True
     return stop_ids
 
