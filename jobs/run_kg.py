@@ -43,6 +43,9 @@ def main():
                     help="disable any configured sequence tagger")
     ap.add_argument("--override", default=None,
                     help="override.ini section (reference -x)")
+    ap.add_argument("--dedup-kernel-inputs", action="store_true",
+                    help="run the kernel once per distinct page payload "
+                         "and join results back to every copy")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("xrenner-spark-kg").getOrCreate()
@@ -62,7 +65,8 @@ def main():
                            partitions=args.partitions, lex_dir=args.model,
                            resume=not args.no_resume,
                            rule_based=args.rule_based, no_seq=args.noseq,
-                           override=args.override)
+                           override=args.override,
+                           dedup_kernel_inputs=args.dedup_kernel_inputs)
     print("triples:", triples.count())
 
 

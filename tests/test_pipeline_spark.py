@@ -106,3 +106,45 @@ def test_arrow_and_pandas_fused_stages_identical(spark):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     pages.unpersist()
+
+
+def test_dedup_kernel_inputs(spark, tmp_path):
+    """dedup_kernel_inputs=True: kernel rows are value-identical to the
+    plain path for every copy (modulo the documented lineage metrics),
+    triples identical, and the kernel demonstrably ran once per distinct
+    payload (copies share the representative's exact kernel_ms)."""
+    from pyspark.sql import functions as F
+    from xrenner_spark.pipeline import docs_view
+
+    pages = generate_pages(spark, 10, partitions=2)
+    tiled = None
+    for k in range(3):  # 3 copies of each payload under distinct urls
+        c = pages.withColumn("url", F.concat(F.lit("copy%d-" % k), F.col("url")))
+        tiled = c if tiled is None else tiled.union(c)
+
+    wh_plain = str(tmp_path / "wh_plain")
+    wh_dedup = str(tmp_path / "wh_dedup")
+    t_plain = run_pipeline(spark, tiled, wh_plain, partitions=4)
+    t_dedup = run_pipeline(spark, tiled, wh_dedup, partitions=4,
+                           dedup_kernel_inputs=True)
+
+    def triple_keys(df):
+        return sorted((r.url, r.subj, r.pred, r.obj, r.sent_num)
+                      for r in df.collect())
+
+    assert triple_keys(t_plain) == triple_keys(t_dedup)
+
+    cat_plain, cat_dedup = Catalog(spark, wh_plain), Catalog(spark, wh_dedup)
+    kp, kd = cat_plain.read("stage_kernel"), cat_dedup.read("stage_kernel")
+    assert kp.schema == kd.schema
+    cols = [c for c in kp.columns if c not in ("part_id", "kernel_ms")]
+    rows_p = sorted(map(tuple, kp.select(cols).collect()))
+    rows_d = sorted(map(tuple, kd.select(cols).collect()))
+    assert rows_p == rows_d
+
+    docs = docs_view(kd)
+    assert docs.count() == 30
+    # one kernel execution per distinct payload: the 3 copies carry the
+    # representative's exact timing value
+    assert docs.select("text_sha256", "kernel_ms").distinct().count() == 10
+    assert docs_view(kp).select("text_sha256", "kernel_ms").distinct().count() == 30

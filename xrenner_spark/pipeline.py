@@ -365,6 +365,44 @@ def kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
     return extracted.mapInPandas(run, schema=KERNEL_SCHEMA)
 
 
+def dedup_kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
+    """Run the kernel ONCE per distinct page payload and join the rows
+    back to every copy — the classic web-corpus lever (real crawls are
+    commonly 30-60% exact-duplicate pages; the reference recomputes per
+    file, no equivalent).
+
+    Shape at scale: one full-payload shuffle (the row_number window on
+    payload_key) REPLACES kernel compute on every duplicate; the
+    join-back moves only long-format kernel rows (~tens per doc), keyed
+    by payload_key, so a viral page with millions of copies is an AQE
+    skew-join case, not a compute cliff.  Output rows carry the COPY's
+    url/warc_ts/lang and the representative's kernel results; they are
+    value-identical to the non-dedup path for every mention/verb/doc
+    field except the lineage metrics (part_id, kernel_ms — computed
+    once, on the representative) and the docname embedded in per-doc
+    ``error`` strings (the representative's url; min-url, so
+    deterministic).  Covered by test_pipeline_spark.
+    """
+    from pyspark.sql import Window
+
+    # key on the exact kernel input: extracted text AND conllu payload
+    keyed = extracted.withColumn(
+        "payload_key",
+        F.sha2(F.concat(F.col("text_sha256"), F.sha2(F.col("conllu"), 256)),
+               256))
+    w = Window.partitionBy("payload_key").orderBy("url")
+    reps = (keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    rep_rows = kernel_stage(reps.drop("payload_key"), lex_broadcast)
+    rep_map = reps.select(F.col("url").alias("_rep_url"), "payload_key")
+    rep_rows_keyed = (rep_rows.withColumnRenamed("url", "_rep_url")
+                      .join(rep_map, "_rep_url")
+                      .drop("_rep_url", "warc_ts", "lang"))
+    copies = keyed.select("payload_key", "url", "warc_ts", "lang")
+    return (rep_rows_keyed.join(copies, "payload_key")
+            .select(*_KERNEL_COLS))
+
+
 def fused_extract_kernel_stage_pandas(pages: DataFrame, lex_broadcast) -> DataFrame:
     """Extraction + kernel in ONE python position (mapInPandas variant).
 
@@ -748,12 +786,18 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, warehouse: str,
                  partitions: int = None, lex_dir: Optional[str] = None,
                  resume: bool = True, rule_based: bool = False,
                  no_seq: bool = False,
-                 override: Optional[str] = None) -> DataFrame:
+                 override: Optional[str] = None,
+                 dedup_kernel_inputs: bool = False) -> DataFrame:
     """Full run: returns the triples DataFrame (already persisted).
 
     With ``resume=True``, stages whose checkpoint tables exist in the
     warehouse are skipped and read back — kill/rerun produces identical
     output without recomputing finished stages.
+
+    ``dedup_kernel_inputs=True`` computes the kernel once per distinct
+    page payload and joins results back to every copy (see
+    dedup_kernel_stage for the scale rationale and the two documented
+    lineage-metric differences).
     """
     cat = Catalog(spark, warehouse)
     if partitions is None:
@@ -780,7 +824,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, warehouse: str,
         lex = load_lex(lex_dir, rule_based=rule_based,
                        no_seq=no_seq, override=override)
         bcast = spark.sparkContext.broadcast(lex)
-        kernel_out = kernel_stage(extracted, bcast)
+        kernel_out = (dedup_kernel_stage(extracted, bcast)
+                      if dedup_kernel_inputs
+                      else kernel_stage(extracted, bcast))
         cat.write(kernel_out, "stage_kernel")
         kernel_out = cat.read("stage_kernel")
         cat.append_lineage("kernel", lineage_of(kernel_out, "kernel"))
