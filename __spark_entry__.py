@@ -344,12 +344,13 @@ def _catalog():
     ROTATION POLICY (round-4 verdict #8): the catalog must STAY at 50 —
     a new query displaces an existing one, never appends past the
     window.  Displace in this order: (1) rel_string_distinct (a demo of
-    operator classes the other combined rows already cover), then
-    (2) the other combined relational rows (each unions subplans whose
-    operator classes overlap the remaining rows), then (3) the simplest
-    textstats demos.  NEVER displace kg_* rows (the tier focus), the
-    dedup/ANN scale operators, or any row whose oracle uniquely covers
-    an operator class."""
+    operator classes the other combined rows already cover — ROTATED
+    OUT in round 5 for text_hygiene, the repetition+decontamination
+    combined row), then (2) the other combined relational rows (each
+    unions subplans whose operator classes overlap the remaining rows),
+    then (3) the simplest textstats demos.  NEVER displace kg_* rows
+    (the tier focus), the dedup/ANN scale operators, or any row whose
+    oracle uniquely covers an operator class."""
     from xrenner_spark.operators import all_queries
     from xrenner_spark.operators import kg_oracle
     from xrenner_spark.operators import relational

@@ -235,3 +235,51 @@ def test_entity_pagerank_matches_hand_computation(spark):
         q = {n: int(round(PR_BASE + PR_DAMP_NUM * insum[n])) for n in nodes}
     assert got == q
     assert got["c"] > got["b"] > got["a"]  # sink accumulates rank
+
+
+def test_text_repetition_exact(spark):
+    """dup 3-gram permille matches a pure-Python recount on every doc."""
+    from xrenner_spark.operators.textstats import text_repetition
+    rows = {r.doc_id: r for r in text_repetition(spark, SF).collect()}
+    assert len(rows) == 500
+    import duckdb
+    texts = duckdb.sql("SELECT doc_id, text FROM read_parquet('%s/documents.parquet')"
+                       % SF).fetchall()
+    for doc_id, text in texts[:100]:
+        words = [w for w in text.split(" ") if w != ""]
+        grams = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)] \
+            if len(words) >= 3 else []
+        r = rows[doc_id]
+        assert r.n_ngrams == len(grams)
+        assert r.n_distinct == len(set(grams))
+        want = (len(grams) - len(set(grams))) * 1000 // len(grams) if grams else 0
+        assert r.dup_permille == want
+
+
+def test_corpus_decontaminate_exact(spark):
+    """Broadcast n-gram screen matches a pure-Python recount: every
+    non-eval doc sharing a 3-gram with the eval set is flagged with the
+    exact occurrence count, and no eval doc appears."""
+    from xrenner_spark.operators.textstats import (DECONTAM_EVAL_MOD,
+                                                   corpus_decontaminate)
+    got = {r.doc_id: r.n_hits for r in corpus_decontaminate(spark, SF).collect()}
+    import duckdb
+    texts = duckdb.sql("SELECT doc_id, text FROM read_parquet('%s/documents.parquet')"
+                       % SF).fetchall()
+    def grams(text):
+        words = [w for w in text.split(" ") if w != ""]
+        return [" ".join(words[i:i + 3]) for i in range(len(words) - 2)] \
+            if len(words) >= 3 else []
+    eval_set = set()
+    for doc_id, text in texts:
+        if doc_id % DECONTAM_EVAL_MOD == 0:
+            eval_set.update(grams(text))
+    want = {}
+    for doc_id, text in texts:
+        if doc_id % DECONTAM_EVAL_MOD == 0:
+            continue
+        n = sum(1 for g in grams(text) if g in eval_set)
+        if n:
+            want[doc_id] = n
+    assert got == want
+    assert want  # non-trivial on the testdata (171 docs at sf0.01)

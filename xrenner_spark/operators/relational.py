@@ -399,7 +399,10 @@ QUERIES = {
     "rel_band_join": (rel_band_join, REL_BAND_JOIN_SQL),
     "rel_topk": (rel_topk, REL_TOPK_SQL),
     "rel_argmax_collect": (rel_argmax_collect, REL_ARGMAX_COLLECT_SQL),
-    "rel_string_distinct": (rel_string_distinct, REL_STRING_DISTINCT_SQL),
+    # rel_string_distinct ROTATED OFF the board in round 5 (the policy's
+    # named first displacement) to make room for text_hygiene; the
+    # function + SQL remain below for tests/bench, and its two operator
+    # classes stay demonstrated by the other combined rows
     "rel_set_ops": (rel_set_ops, REL_SET_OPS_SQL),
     "rel_join_chain": (rel_join_chain, REL_JOIN_CHAIN_SQL),
 }

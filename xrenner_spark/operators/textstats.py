@@ -135,9 +135,138 @@ TEXT_FINGERPRINT_SQL = r"""
 """
 
 
+# ----------------------------------------------------------------------
+# round 5: intra-document repetition + benchmark decontamination
+# ----------------------------------------------------------------------
+
+def _ngram_expr(n: int):
+    """Column expr: the document's word n-grams as an array (empty when
+    the doc has fewer than n words).  Built per ROW with higher-order
+    functions — docs carry tens-to-thousands of tokens, far below the
+    interpreted-HOF cliff (CLAUDE.md), and the map-side form needs NO
+    shuffle, vs exploding every token into a corpus-wide window."""
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
+    # sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly
+    return F.when(F.size(arr) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition score: the fraction of
+    duplicate word 3-grams, as an exact integer permille (single integer
+    division — hashes identically in DuckDB).  Entirely map-side: the
+    n-gram bank never leaves the row."""
+    docs = _docs(spark, sf_dir)
+    grams = _ngram_expr(3)
+    out = docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"))
+    dup = F.expr("CASE WHEN n_ngrams > 0 THEN "
+                 "(n_ngrams - n_distinct) * 1000 DIV n_ngrams "
+                 "ELSE 0 END")
+    return out.select("doc_id", "n_ngrams", "n_distinct",
+                      dup.cast("long").alias("dup_permille"))
+
+
+TEXT_REPETITION_SQL = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS a
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(a) >= 3 THEN
+                   list_transform(range(1, len(a) - 1),
+                                  i -> array_to_string(list_slice(a, i, i + 2), ' '))
+               ELSE [] END AS grams
+        FROM arrs
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN len(grams) > 0 THEN
+                    (len(grams) - len(list_distinct(grams))) * 1000 // len(grams)
+                ELSE 0 END AS BIGINT) AS dup_permille
+    FROM g
+"""
+
+
+#: benchmark membership rule for the synthetic eval set: every 97th doc
+DECONTAM_EVAL_MOD = 97
+#: production decontamination uses ~13-grams; the small-sf testdata texts
+#: are 10-99 words over a small vocabulary, so the pinned oracle uses 3
+DECONTAM_NGRAM = 3
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str,
+                         n: int = DECONTAM_NGRAM) -> DataFrame:
+    """Benchmark-decontamination screen: flag training documents sharing
+    any word n-gram with the eval set (docs where doc_id %% 97 == 0 stand
+    in for a held-out benchmark).  The eval n-gram bank is broadcast —
+    eval sets are small by nature — so the scan side is one map-side
+    broadcast hash join on exploded grams plus a partial-aggregated
+    groupBy; no full-corpus shuffle of payloads."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select("doc_id", F.explode(_ngram_expr(n)).alias("g"))
+    eval_grams = (grams.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+                  .select("g").distinct())
+    return (grams.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+            .join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+
+
+CORPUS_DECONTAMINATE_SQL = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS a
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS g
+        FROM arrs, LATERAL (SELECT unnest(range(1, greatest(len(a) - 1, 1))) AS i)
+        WHERE len(a) >= 3
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM grams c
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id %% 97 = 0) e USING (g)
+    WHERE c.doc_id %% 97 != 0
+    GROUP BY c.doc_id
+""".replace("%%", "%")
+
+
+def text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined driver query (catalog is pinned at the driver's 50-entry
+    window — this row unions the text_repetition and
+    corpus_decontaminate subplans verbatim in long format)."""
+    rep = text_repetition(spark, sf_dir)
+    dec = corpus_decontaminate(spark, sf_dir)
+    return (rep.select("doc_id", F.lit("dup_permille").alias("metric"),
+                       F.col("dup_permille").alias("value"))
+            .unionAll(rep.select("doc_id", F.lit("n_ngrams").alias("metric"),
+                                 F.col("n_ngrams").alias("value")))
+            .unionAll(dec.select("doc_id",
+                                 F.lit("decontam_hits").alias("metric"),
+                                 F.col("n_hits").alias("value"))))
+
+
+TEXT_HYGIENE_SQL = """
+    WITH rep AS (%s), dec AS (%s)
+    SELECT doc_id, 'dup_permille' AS metric, dup_permille AS value FROM rep
+    UNION ALL
+    SELECT doc_id, 'n_ngrams' AS metric, n_ngrams AS value FROM rep
+    UNION ALL
+    SELECT doc_id, 'decontam_hits' AS metric, n_hits AS value FROM dec
+""" % (TEXT_REPETITION_SQL, CORPUS_DECONTAMINATE_SQL)
+
+
 QUERIES = {
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_hygiene": (text_hygiene, TEXT_HYGIENE_SQL),
 }
