@@ -347,8 +347,10 @@ def _catalog():
     operator classes the other combined rows already cover — ROTATED
     OUT in round 5 for text_hygiene, the repetition+decontamination
     combined row), then (2) the other combined relational rows (each
-    unions subplans whose operator classes overlap the remaining rows),
-    then (3) the simplest textstats demos.  NEVER displace kg_* rows
+    unions subplans whose operator classes overlap the remaining rows —
+    rel_join_chain ROTATED OUT in round 5 for web_url_dedup, the
+    canonical-URL crawl dedup), then (3) the simplest textstats demos.
+    NEVER displace kg_* rows
     (the tier focus), the dedup/ANN scale operators, or any row whose
     oracle uniquely covers an operator class."""
     from xrenner_spark.operators import all_queries

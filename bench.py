@@ -37,7 +37,7 @@ def main():
     from xrenner_spark.pipeline import (fused_extract_kernel_stage,
                                         generate_pages, salt_by_url, triples_stage)
     from xrenner_spark.operators import (relational, dedup, similarity,
-                                         textstats, ml_score)
+                                         textstats, ml_score, web)
 
     spark = get_spark("bench", cores=CORES, shuffle_partitions=max(32, CORES))
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,6 +86,8 @@ def main():
         "ann_lsh_bucket": similarity.ann_lsh_bucket,
         "text_quality": textstats.text_quality,
         "text_lang_id": textstats.text_lang_id,
+        "text_repetition": textstats.text_repetition,
+        "web_url_dedup": web.url_dedup,
         "clf_score_gbt": ml_score.clf_score_gbt,
         "rel_grouped_agg": relational.rel_grouped_agg,
         "rel_broadcast_join": relational.rel_broadcast_join,

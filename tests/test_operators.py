@@ -283,3 +283,50 @@ def test_corpus_decontaminate_exact(spark):
             want[doc_id] = n
     assert got == want
     assert want  # non-trivial on the testdata (171 docs at sf0.01)
+
+
+def _canon_py(url):
+    """Third, independent implementation of the canonicalization
+    contract (operators/web.py module docstring) in plain Python."""
+    url = url.split("#", 1)[0]
+    scheme, _, rest = url.partition("://")
+    scheme = scheme.lower()
+    hostport, slash, pathq = rest.partition("/")
+    pathq = slash + pathq if slash else ""
+    host, _, port = hostport.partition(":")
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    portc = "" if port in ("", "80", "443") else ":" + port
+    path, _, q = pathq.partition("?")
+    path = path.rstrip("/")
+    params = sorted(p for p in q.split("&")
+                    if p != "" and not p.startswith(("utm_", "fbclid", "gclid")))
+    qc = "&".join(params)
+    return scheme + "://" + host + portc + path + ("?" + qc if qc else "")
+
+
+def test_web_url_dedup_exact(spark):
+    """Canonical-URL dedup matches a pure-Python recount of the whole
+    synthetic crawl: group sizes, representative selection (min raw
+    url), latest-capture pick, and the canonical string itself."""
+    from xrenner_spark.operators.web import (CAPTURES_PER_PAGE, _pages_df,
+                                             url_dedup)
+    pages = {r.doc_id: (r.url, r.warc_ts)
+             for r in _pages_df(spark, SF).collect()}
+    got = {r.canonical_url: r for r in url_dedup(spark, SF).collect()}
+
+    groups = {}
+    for doc_id, (url, ts) in pages.items():
+        groups.setdefault(_canon_py(url), []).append((doc_id, url, ts))
+    assert set(got) == set(groups)
+    for canon, members in groups.items():
+        r = got[canon]
+        assert r.n_captures == len(members) == CAPTURES_PER_PAGE
+        assert r.first_raw_url == min(u for _d, u, _t in members)
+        assert r.latest_doc_id == max(members, key=lambda m: m[2])[0]
+        # canonical form erases every variant decoration
+        assert "#" not in canon and ":443" not in canon
+        assert "utm_" not in canon and "www." not in canon
+        assert not canon.split("?")[0].endswith("/")
+        assert canon.split("?", 1)[1] == "a=1&b=2"

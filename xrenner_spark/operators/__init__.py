@@ -9,12 +9,12 @@ order-insensitive value-hash comparison holds bit-for-bit.
 """
 
 from . import (dedup, similarity, textstats, multimodal, ml_score,  # noqa: F401
-               sampling, clustering)
+               sampling, clustering, web)
 
 
 def all_queries():
     out = {}
     for module in (dedup, similarity, textstats, multimodal, ml_score,
-                   sampling, clustering):
+                   sampling, clustering, web):
         out.update(module.QUERIES)
     return out

@@ -404,5 +404,10 @@ QUERIES = {
     # function + SQL remain below for tests/bench, and its two operator
     # classes stay demonstrated by the other combined rows
     "rel_set_ops": (rel_set_ops, REL_SET_OPS_SQL),
-    "rel_join_chain": (rel_join_chain, REL_JOIN_CHAIN_SQL),
+    # rel_join_chain ROTATED OFF the board in round 5 (the policy's
+    # second displacement class: its multi-way join plan is the union of
+    # operator classes the broadcast/semi-anti/band join rows still
+    # demonstrate) to make room for web_url_dedup, the canonical-URL +
+    # latest-capture crawl dedup.  Function + SQL remain below for
+    # tests/bench.
 }

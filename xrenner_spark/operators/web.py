@@ -1,0 +1,164 @@
+"""Web-page URL operators: canonicalization + capture dedup.
+
+The target input shape (BASELINE.json input_hint) is a Common-Crawl
+style table ``(url, warc_ts, html, text, lang)`` where the same logical
+page appears under many raw URL spellings and many capture timestamps.
+The two production moves every crawl pipeline makes before any content
+work are (1) canonicalize the URL and (2) keep one capture per
+canonical URL (usually the latest).  Both are pure string/agg work that
+must stay JVM-side — one shuffle on the canonical key, no Python.
+
+The test tables carry no url column, so ``_pages_df`` projects a
+deterministic crawl out of ``documents.parquet``: every four doc_ids
+form one logical page whose four raw spellings differ only in the ways
+canonicalization must erase (host case, ``www.`` prefix, default
+``:443`` port, tracking params, param order, trailing slash, fragment),
+and ``warc_ts`` grows monotonically with doc_id so "latest capture" has
+a unique answer.  The same projection and the same canonicalization are
+written twice — Spark column expressions and DuckDB SQL — and the
+driver hash-compares the results, so the contract is pinned by two
+independent string engines, exactly like the other oracle pairs.
+
+Canonicalization contract (deliberately scoped, documented here):
+  1. drop the ``#fragment``;
+  2. lowercase scheme and host;
+  3. strip a leading ``www.`` from the host;
+  4. drop default ports ``:80`` and ``:443`` (any other port is kept);
+  5. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), sort the
+     survivors bytewise, rejoin with ``&`` (no ``?`` if none survive);
+  6. strip trailing ``/``-runs from the path (root serializes empty).
+
+At 100 TB: canonicalization is map-side (free at any scale); the dedup
+is ONE exchange hashed on canonical_url.  A viral URL with millions of
+captures is not a hot-key cliff: count/min/max_by all partial-aggregate
+map-side, so even a pathological key reduces to one row per input
+partition before the shuffle (verified in BENCH/PLANS.md §18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: captures per logical page in the synthetic projection
+CAPTURES_PER_PAGE = 4
+
+#: the four raw spellings of one logical page, keyed by doc_id %% 4;
+#: `base` is the page identity (doc_id DIV 4) as a string
+_VARIANTS = [
+    # host case + default port + tracking param + unsorted + fragment
+    "'https://WWW.Example.com:443/site/' || base ||"
+    " '/?b=2&a=1&utm_source=feed#frag'",
+    # canonical except the www. prefix
+    "'https://www.example.com/site/' || base || '?a=1&b=2'",
+    # fbclid + trailing slash
+    "'https://example.com:443/site/' || base || '/?fbclid=abc&a=1&b=2'",
+    # host case + gclid + unsorted params
+    "'https://Example.COM/site/' || base || '?b=2&a=1&gclid=1'",
+]
+
+_CASE_URL = ("CASE CAST(doc_id % {k} AS INT) "
+             + " ".join("WHEN %d THEN %s" % (i, v)
+                        for i, v in enumerate(_VARIANTS))
+             + " END").replace("{k}", str(CAPTURES_PER_PAGE))
+
+
+def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, warc_ts) synthetic crawl over the documents table."""
+    docs = (spark.read.parquet(sf_dir + "/documents.parquet")
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    return (docs
+            .withColumn("base",
+                        F.expr("CAST(doc_id DIV %d AS STRING)"
+                               % CAPTURES_PER_PAGE))
+            .select("doc_id",
+                    F.expr(_CASE_URL).alias("url"),
+                    F.expr("timestamp'2024-01-01 00:00:00' + make_interval"
+                           "(0, 0, 0, 0, CAST(doc_id AS INT), 0, 0)")
+                    .alias("warc_ts")))
+
+
+_PAGES_SQL = ("""
+    SELECT doc_id,
+           """ + _CASE_URL + """ AS url,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + doc_id * INTERVAL 1 HOUR AS warc_ts
+    FROM (SELECT doc_id, CAST(doc_id // %d AS VARCHAR) AS base
+          FROM documents)
+""" % CAPTURES_PER_PAGE)
+# DuckDB CASE CAST(doc_id %% 4 ...): the % above is literal (no Python
+# formatting is applied to _PAGES_SQL after this point)
+
+
+def _canon_sql(engine: str) -> str:
+    """The canonicalization pipeline over a column named ``url``,
+    emitted once per engine with identical semantics.  Both engines'
+    split_part return '' for an out-of-range part and the whole string
+    when the separator is absent, which the contract relies on for
+    fragment-free / query-free / port-free URLs."""
+    starts = "startswith" if engine == "spark" else "starts_with"
+    nofrag = "split_part(url, '#', 1)"
+    scheme = "lower(split_part(%s, '://', 1))" % nofrag
+    rest = "split_part(%s, '://', 2)" % nofrag
+    hostport = "split_part(%s, '/', 1)" % rest
+    host0 = "lower(split_part(%s, ':', 1))" % hostport
+    host = ("CASE WHEN %s(%s, 'www.') THEN substr(%s, 5) ELSE %s END"
+            % (starts, host0, host0, host0))
+    port = "split_part(%s, ':', 2)" % hostport
+    portc = ("CASE WHEN %s IN ('', '80', '443') THEN '' "
+             "ELSE ':' || %s END" % (port, port))
+    pathq = "substr(%s, length(%s) + 1)" % (rest, hostport)
+    path = "regexp_replace(split_part(%s, '?', 1), '/+$', '')" % pathq
+    q = "split_part(%s, '?', 2)" % pathq
+    if engine == "spark":
+        params = ("filter(split(%s, '&'), p -> p != '' "
+                  "AND NOT startswith(p, 'utm_') "
+                  "AND NOT startswith(p, 'fbclid') "
+                  "AND NOT startswith(p, 'gclid'))" % q)
+        qc = "array_join(array_sort(%s), '&')" % params
+    else:
+        params = ("list_filter(string_split(%s, '&'), p -> p != '' "
+                  "AND NOT starts_with(p, 'utm_') "
+                  "AND NOT starts_with(p, 'fbclid') "
+                  "AND NOT starts_with(p, 'gclid'))" % q)
+        qc = "array_to_string(list_sort(%s), '&')" % params
+    return ("%s || '://' || %s || %s || %s || "
+            "CASE WHEN %s = '' THEN '' ELSE '?' || %s END"
+            % (scheme, host, portc, path, qc, qc))
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup with latest-capture selection.
+
+    Plan shape: parquet scan (doc_id only) -> map-side projection +
+    canonicalization (whole-stage codegen, no Python) -> ONE hash
+    exchange on canonical_url with partial aggregation before it.
+    max_by picks the latest capture; warc_ts is strictly monotone in
+    doc_id here, so the answer is unique.
+    """
+    pages = _pages_df(spark, sf_dir)
+    pages = pages.withColumn("canonical_url", F.expr(_canon_sql("spark")))
+    return (pages.groupBy("canonical_url")
+            .agg(F.count("*").cast("long").alias("n_captures"),
+                 F.min("url").alias("first_raw_url"),
+                 F.expr("max_by(doc_id, warc_ts)").cast("long")
+                  .alias("latest_doc_id")))
+
+
+WEB_URL_DEDUP_SQL = """
+    WITH pages AS (%s),
+    canon AS (
+        SELECT doc_id, url, warc_ts, %s AS canonical_url FROM pages
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_captures,
+           min(url) AS first_raw_url,
+           CAST(arg_max(doc_id, warc_ts) AS BIGINT) AS latest_doc_id
+    FROM canon
+    GROUP BY canonical_url
+""" % (_PAGES_SQL, _canon_sql("duckdb"))
+
+
+QUERIES = {
+    "web_url_dedup": (url_dedup, WEB_URL_DEDUP_SQL),
+}
