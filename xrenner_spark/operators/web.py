@@ -96,32 +96,46 @@ def _canon_sql(engine: str) -> str:
     split_part return '' for an out-of-range part and the whole string
     when the separator is absent, which the contract relies on for
     fragment-free / query-free / port-free URLs."""
-    starts = "startswith" if engine == "spark" else "starts_with"
     nofrag = "split_part(url, '#', 1)"
     scheme = "lower(split_part(%s, '://', 1))" % nofrag
     rest = "split_part(%s, '://', 2)" % nofrag
     hostport = "split_part(%s, '/', 1)" % rest
     host0 = "lower(split_part(%s, ':', 1))" % hostport
-    host = ("CASE WHEN %s(%s, 'www.') THEN substr(%s, 5) ELSE %s END"
-            % (starts, host0, host0, host0))
     port = "split_part(%s, ':', 2)" % hostport
-    portc = ("CASE WHEN %s IN ('', '80', '443') THEN '' "
-             "ELSE ':' || %s END" % (port, port))
     pathq = "substr(%s, length(%s) + 1)" % (rest, hostport)
     path = "regexp_replace(split_part(%s, '?', 1), '/+$', '')" % pathq
     q = "split_part(%s, '?', 2)" % pathq
     if engine == "spark":
+        # Spark formulation: every normalization is an UNCONDITIONAL
+        # regexp over its subtree — no CASE/IF around the deep
+        # split_part trees.  Conditional branches defeat codegen
+        # subexpression elimination, and the duplicated trees blew the
+        # generated method past what HotSpot will JIT promptly: the
+        # first 4M-row run took 205 s vs 4.7 s once compiled
+        # (scripts/bench_web_scale.py).  The regex forms keep each
+        # subtree referenced ONCE.
+        host = "regexp_replace(%s, '^www\\\\.', '')" % host0
+        portc = "regexp_replace(':' || %s, '^:(80|443)?$', '')" % port
         params = ("filter(split(%s, '&'), p -> p != '' "
                   "AND NOT startswith(p, 'utm_') "
                   "AND NOT startswith(p, 'fbclid') "
                   "AND NOT startswith(p, 'gclid'))" % q)
         qc = "array_join(array_sort(%s), '&')" % params
-    else:
-        params = ("list_filter(string_split(%s, '&'), p -> p != '' "
-                  "AND NOT starts_with(p, 'utm_') "
-                  "AND NOT starts_with(p, 'fbclid') "
-                  "AND NOT starts_with(p, 'gclid'))" % q)
-        qc = "array_to_string(list_sort(%s), '&')" % params
+        # '?' || qc collapses to '' when qc is empty — qc appears once
+        qpart = "regexp_replace('?' || %s, '^\\\\?$', '')" % qc
+        return ("%s || '://' || %s || %s || %s || %s"
+                % (scheme, host, portc, path, qpart))
+    # DuckDB formulation: the independent oracle keeps the plain
+    # CASE/branch form — two engines, two formulations, one contract.
+    host = ("CASE WHEN starts_with(%s, 'www.') THEN substr(%s, 5) "
+            "ELSE %s END" % (host0, host0, host0))
+    portc = ("CASE WHEN %s IN ('', '80', '443') THEN '' "
+             "ELSE ':' || %s END" % (port, port))
+    params = ("list_filter(string_split(%s, '&'), p -> p != '' "
+              "AND NOT starts_with(p, 'utm_') "
+              "AND NOT starts_with(p, 'fbclid') "
+              "AND NOT starts_with(p, 'gclid'))" % q)
+    qc = "array_to_string(list_sort(%s), '&')" % params
     return ("%s || '://' || %s || %s || %s || "
             "CASE WHEN %s = '' THEN '' ELSE '?' || %s END"
             % (scheme, host, portc, path, qc, qc))
