@@ -330,3 +330,44 @@ def test_web_url_dedup_exact(spark):
         assert "utm_" not in canon and "www." not in canon
         assert not canon.split("?")[0].endswith("/")
         assert canon.split("?", 1)[1] == "a=1&b=2"
+
+
+def test_web_canonicalize_random_urls(spark):
+    """Differential sweep of the canonicalization contract on random
+    URL-ish strings (beyond the 4-variant synth family): Spark codegen
+    expression vs DuckDB SQL vs the pure-Python reference above must
+    agree on every URL."""
+    import random
+    import duckdb
+    from pyspark.sql import functions as F
+    from xrenner_spark.operators.web import _canon_sql
+
+    rng = random.Random(20260817)
+    schemes = ["https", "HTTPS", "http", "Http"]
+    hosts = ["example.com", "WWW.Example.com", "www.ex-a.B.org", "X.Y",
+             "www.www.nested.io"]
+    ports = ["", ":443", ":80", ":8080", ":9"]
+    paths = ["", "/", "/a", "/a/b/c", "/a//b/", "/trail///", "/UPPER/Case"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2",
+               "?z&y&x", "?a=1&a=0", "?fbclid=f&gclid=g&utm_a=u",
+               "?key=v%20al&b=2"]
+    frags = ["", "#", "#frag", "#a#b"]
+    urls = ["".join((rng.choice(schemes), "://", rng.choice(hosts),
+                     rng.choice(ports), rng.choice(paths),
+                     rng.choice(queries), rng.choice(frags)))
+            for _ in range(400)]
+
+    sdf = (spark.createDataFrame([(u,) for u in urls], ["url"])
+           .select("url", F.expr(_canon_sql("spark")).alias("canon")))
+    got_spark = {r.url: r.canon for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    got_duck = dict(con.sql(
+        "SELECT url, %s AS canon FROM t" % _canon_sql("duckdb")).fetchall())
+
+    for u in urls:
+        want = _canon_py(u)
+        assert got_spark[u] == want, (u, got_spark[u], want)
+        assert got_duck[u] == want, (u, got_duck[u], want)

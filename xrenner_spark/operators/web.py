@@ -135,7 +135,10 @@ def _canon_sql(engine: str) -> str:
               "AND NOT starts_with(p, 'utm_') "
               "AND NOT starts_with(p, 'fbclid') "
               "AND NOT starts_with(p, 'gclid'))" % q)
-    qc = "array_to_string(list_sort(%s), '&')" % params
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — found by the random-URL differential test
+    # (the synth family never produces an all-stripped query)
+    qc = "coalesce(array_to_string(list_sort(%s), '&'), '')" % params
     return ("%s || '://' || %s || %s || %s || "
             "CASE WHEN %s = '' THEN '' ELSE '?' || %s END"
             % (scheme, host, portc, path, qc, qc))
