@@ -371,3 +371,31 @@ def test_web_canonicalize_random_urls(spark):
         want = _canon_py(u)
         assert got_spark[u] == want, (u, got_spark[u], want)
         assert got_duck[u] == want, (u, got_duck[u], want)
+
+
+def test_bucketed_join_eliminates_exchanges(spark, tmp_path):
+    """Write-side bucketing makes doc-keyed joins exchange-free: both
+    bucketed scans report the hashpartitioning, SortMergeJoin consumes
+    them in place (scripts/bench_bucketed_join.py measures at 5M rows;
+    the win at cluster scale is the removed network shuffle)."""
+    from pyspark.sql import functions as F
+    a = (spark.range(0, 2000, 1, 4).withColumnRenamed("id", "doc_id")
+         .withColumn("x", F.expr("doc_id % 7")))
+    b = (spark.range(0, 2000, 1, 4).withColumnRenamed("id", "doc_id")
+         .withColumn("y", F.expr("doc_id % 11")))
+    try:
+        for name, df in (("tb_a", a), ("tb_b", b)):
+            (df.write.bucketBy(4, "doc_id").sortBy("doc_id")
+               .mode("overwrite").saveAsTable(name))
+        # hint forces SortMergeJoin past the session broadcast threshold
+        # (at real checkpoint sizes neither side broadcasts)
+        joined = (spark.table("tb_a").hint("merge")
+                  .join(spark.table("tb_b"), "doc_id")
+                  .where(F.col("x") + F.col("y") >= 0))
+        assert joined.count() == 2000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_a")
+        spark.sql("DROP TABLE IF EXISTS tb_b")
