@@ -181,3 +181,43 @@ def test_streaming_domain_cap_across_batches(spark, tmp_path):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     # at least one domain actually hit the cap (20 docs over few hosts)
     assert any(len(v) == 5 for v in by_domain.values())
+
+
+def test_streaming_url_frontier(spark, tmp_path):
+    """Canonical-URL crawl-frontier dedup: a later drop re-delivering
+    the same pages under DIFFERENT raw URL spellings (host case, :443,
+    tracking params, fragment) is recognized and dropped; genuinely new
+    pages in the same drop pass."""
+    import pandas as pd
+    from xrenner_spark.corpus import build_page
+    from xrenner_spark.streaming import read_pages_stream, streaming_url_frontier
+
+    source = str(tmp_path / "frontier_stream")
+    out = str(tmp_path / "frontier_out")
+    _drop_pages(spark, source, 0, 10)
+    # second drop: docs 5-14 under decorated raw spellings of their urls
+    rows = [build_page(i) for i in range(5, 15)]
+    for r in rows:
+        r["url"] = (r["url"].replace("https://web.example.org",
+                                     "https://WEB.Example.ORG:443")
+                    + "?utm_source=feed#frag")
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(source)
+
+    stream = read_pages_stream(spark, source, max_files_per_trigger=1)
+    q = (streaming_url_frontier(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "frontier_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).collect()
+    # 15 canonical pages: 0-9 from drop 1, 10-14 (decorated) from drop 2
+    assert len(got) == 15
+    assert len({r.canonical_url for r in got}) == 15
+    # the 5 decorated survivors carry their RAW spellings (frontier
+    # emits the first capture as received), canonical keys normalized
+    decorated = [r for r in got if "utm_source" in r.url]
+    assert len(decorated) == 5
+    assert all(":443" not in r.canonical_url and "#"
+               not in r.canonical_url for r in got)

@@ -67,7 +67,8 @@ def stream_pipeline(spark: SparkSession, source_dir: str, out_dir: str,
 
 def streaming_dedup(pages: DataFrame,
                     ttl_ms: Optional[int] = 30 * 24 * 3600 * 1000,
-                    late_threshold: str = "1 hour") -> DataFrame:
+                    late_threshold: str = "1 hour",
+                    key_col: Optional[str] = None) -> DataFrame:
     """Cross-batch exact deduplication as a custom stateful operator
     (applyInPandasWithState): the first page with a given content hash
     passes through, every later arrival — in the same OR any later
@@ -91,13 +92,19 @@ def streaming_dedup(pages: DataFrame,
     sane with a RocksDB state store and a bounded key universe; the
     batch ``dedup_exact`` join is the right tool for retroactive
     exactness).  ``late_threshold`` is the watermark delay: how far
-    out-of-order page timestamps may arrive."""
+    out-of-order page timestamps may arrive.
+
+    ``key_col``: dedup key column.  Default None computes
+    ``content_hash = md5(text)`` (exact content dedup); pass the name
+    of an existing column to dedup on any other identity — see
+    ``streaming_url_frontier`` for the canonical-URL crawl-frontier
+    instance."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql import types as T
 
     out_schema = T.StructType([
-        T.StructField("content_hash", T.StringType()),
+        T.StructField(key_col or "content_hash", T.StringType()),
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampType()),
         T.StructField("text", T.StringType()),
@@ -109,6 +116,7 @@ def streaming_dedup(pages: DataFrame,
         T.StructField("last_ts_ms", T.LongType()),
     ])
     cols = [f.name for f in out_schema.fields]
+    keyname = cols[0]
 
     def dedup_group(key, pdf_iter, state):
         if state.hasTimedOut:
@@ -125,7 +133,7 @@ def streaming_dedup(pages: DataFrame,
             if seen == 0:
                 # vectorized head-1 slice: only the first arrival survives
                 first = pdf.iloc[:1][["url", "warc_ts", "text", "lang"]].copy()
-                first.insert(0, "content_hash", key[0])
+                first.insert(0, keyname, key[0])
                 first["dup_of_prior_batch"] = had_prior
                 emitted = True
                 yield first[cols]
@@ -145,12 +153,34 @@ def streaming_dedup(pages: DataFrame,
 
     timeout = (GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
                else GroupStateTimeout.NoTimeout)
-    hashed = pages.withColumn("content_hash", F.md5("text"))
+    if key_col is None:
+        hashed = pages.withColumn("content_hash", F.md5("text"))
+    else:
+        hashed = pages  # caller supplies the identity column
     if ttl_ms is not None:
         hashed = hashed.withWatermark("warc_ts", late_threshold)
-    return (hashed.groupBy("content_hash")
+    return (hashed.groupBy(keyname)
             .applyInPandasWithState(dedup_group, out_schema, state_schema,
                                     "append", timeout))
+
+
+def streaming_url_frontier(pages: DataFrame,
+                           ttl_ms: Optional[int] = None,
+                           late_threshold: str = "1 hour") -> DataFrame:
+    """Crawl-frontier dedup: the FIRST capture of each canonical URL
+    passes, every later raw spelling of the same page — any batch — is
+    dropped.  This is the streaming twin of the batch ``web_url_dedup``
+    operator (operators/web.py canonicalization contract, reused
+    verbatim), keyed on canonical_url instead of content hash; a crawl
+    scheduler uses it to skip re-fetch candidates already ingested.
+    Default ``ttl_ms=None`` (a frontier forgets nothing); pass a TTL to
+    model deliberate re-crawl windows — eviction semantics identical to
+    ``streaming_dedup``."""
+    from .operators.web import _canon_sql
+    canon = pages.withColumn("canonical_url", F.expr(_canon_sql("spark")))
+    return streaming_dedup(canon, ttl_ms=ttl_ms,
+                           late_threshold=late_threshold,
+                           key_col="canonical_url")
 
 
 def mention_rate_stream(kernel_out: DataFrame, window: str = "1 hour",
