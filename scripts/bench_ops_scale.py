@@ -75,7 +75,7 @@ def main():
     synthesize(spark, out_dir, n_vecs, doc_mult)
     t_synth = round(time.perf_counter() - t0, 2)
 
-    from xrenner_spark.operators import clustering, sampling, textstats
+    from xrenner_spark.operators import clustering, sampling, textstats, web
 
     # cluster_assign's pipeline usage: the CC loop starts from the
     # ALREADY-MATERIALIZED verify output (round-5 verified_pairs param);
@@ -102,6 +102,9 @@ def main():
         "doc_domain_cap": sampling.doc_domain_cap,
         "text_lang_id": textstats.text_lang_id,
         "text_quality": textstats.text_quality,
+        "text_repetition": textstats.text_repetition,
+        "corpus_decontaminate": textstats.corpus_decontaminate,
+        "web_url_dedup": web.url_dedup,
     }
     results = {}
     for name, fn in ops.items():

@@ -139,19 +139,34 @@ TEXT_FINGERPRINT_SQL = r"""
 # round 5: intra-document repetition + benchmark decontamination
 # ----------------------------------------------------------------------
 
-def _ngram_expr(n: int):
-    """Column expr: the document's word n-grams as an array (empty when
-    the doc has fewer than n words).  Built per ROW with higher-order
-    functions — docs carry tens-to-thousands of tokens, far below the
-    interpreted-HOF cliff (CLAUDE.md), and the map-side form needs NO
-    shuffle, vs exploding every token into a corpus-wide window."""
-    arr = F.filter(F.split("text", " "), lambda w: w != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
-    # sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly
-    return F.when(F.size(arr) >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+def _ngram_frame(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, grams): the document's word n-grams as an array column
+    (empty when the doc has fewer than n words; the when() guard exists
+    because sequence(1, k) DESCENDS for k < 1).  Built per ROW with
+    higher-order functions — docs carry tens-to-thousands of tokens,
+    far below the interpreted-HOF cliff (CLAUDE.md), and the map-side
+    form needs NO shuffle, vs exploding every token into a corpus-wide
+    window.
+
+    STAGED projections: the word array and the bank each land in their
+    own Project, referenced more than once downstream, so
+    CollapseProject declines to inline them (it never duplicates an
+    expensive multi-referenced alias) and every row computes the split
+    ONCE and the bank ONCE.  The previous single-Project form built the
+    bank once PER CONSUMER inside when() branches, where codegen
+    subexpression elimination cannot reach — measured wall drop at 500k
+    docs in BENCH/BASELINE.md.  Same rule as web.py's canonicalization:
+    reference each deep subtree once."""
+    words = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("_w"))
+    arr = F.col("_w")
+    bank = F.when(
+        F.size(arr) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select("doc_id", bank.alias("grams"))
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,11 +175,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — hashes identically in DuckDB).  Entirely map-side: the
     n-gram bank never leaves the row."""
     docs = _docs(spark, sf_dir)
-    grams = _ngram_expr(3)
-    out = docs.select(
+    out = _ngram_frame(docs, 3).select(
         "doc_id",
-        F.size(grams).cast("long").alias("n_ngrams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"))
+        F.size("grams").cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"))
     dup = F.expr("CASE WHEN n_ngrams > 0 THEN "
                  "(n_ngrams - n_distinct) * 1000 DIV n_ngrams "
                  "ELSE 0 END")
@@ -211,7 +225,8 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str,
     broadcast hash join on exploded grams plus a partial-aggregated
     groupBy; no full-corpus shuffle of payloads."""
     docs = _docs(spark, sf_dir)
-    grams = docs.select("doc_id", F.explode(_ngram_expr(n)).alias("g"))
+    grams = _ngram_frame(docs, n).select(
+        "doc_id", F.explode("grams").alias("g"))
     eval_grams = (grams.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
                   .select("g").distinct())
     return (grams.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
