@@ -68,10 +68,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword quality signals + one composite
     ratio (single deterministic division)."""
     docs = _docs(spark, sf_dir)
-    words = F.filter(F.split("text", " "), lambda w: w != "")
-    n_words = F.size(words)
-    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(EN_STOPS)))
-    return docs.select(
+    # staged projection (the _ngram_frame rule): the word array is
+    # referenced by three consumer columns, so it gets its own Project —
+    # CollapseProject won't inline an expensive multi-referenced alias,
+    # and each row splits once instead of ~5x
+    staged = docs.select(
+        "doc_id", "text",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("_w"))
+    n_words = F.size("_w")
+    stop_hits = F.size(F.filter(F.col("_w"),
+                                lambda w: F.lower(w).isin(EN_STOPS)))
+    return staged.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
