@@ -349,8 +349,10 @@ def _catalog():
     combined row), then (2) the other combined relational rows (each
     unions subplans whose operator classes overlap the remaining rows —
     rel_join_chain ROTATED OUT in round 5 for web_url_dedup, the
-    canonical-URL crawl dedup), then (3) the simplest textstats demos.
-    NEVER displace kg_* rows
+    canonical-URL crawl dedup; rel_argmax_collect ROTATED OUT in round
+    5 for text_pii — its classes stay covered by web_url_dedup's max_by
+    and kg_child_info's sorted collect), then (3) the simplest
+    textstats demos.  NEVER displace kg_* rows
     (the tier focus), the dedup/ANN scale operators, or any row whose
     oracle uniquely covers an operator class."""
     from xrenner_spark.operators import all_queries

@@ -399,3 +399,38 @@ def test_bucketed_join_eliminates_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_a")
         spark.sql("DROP TABLE IF EXISTS tb_b")
+
+
+def test_text_pii_exact(spark):
+    """PII counts and redaction match a pure-Python re recount (third
+    implementation; DuckDB is the second via the driver oracle)."""
+    import hashlib
+    import re
+    import duckdb
+    from xrenner_spark.operators.textstats import (PII_EMAIL, PII_IPV4,
+                                                   PII_PHONE, text_pii)
+    got = {r.doc_id: r for r in text_pii(spark, SF).collect()}
+    texts = duckdb.sql("SELECT doc_id, text FROM read_parquet('%s/documents.parquet')"
+                       % SF).fetchall()
+    decor = {0: " contact alice.smith@Example-Mail.com now",
+             2: " server 10.{}.0.1 down",
+             3: " mail bob@corp.example.org or 192.168.1.{} fast"}
+    hits = 0
+    for doc_id, text in texts:
+        v = doc_id % 5
+        if v == 1:
+            t = text + " call 415-555-%04d today" % (doc_id % 10000)
+        elif v in decor:
+            t = text + decor[v].format(doc_id % 256 if v == 2 else doc_id % 200)
+        else:
+            t = text
+        r = got[doc_id]
+        assert r.n_emails == len(re.findall(PII_EMAIL, t))
+        assert r.n_phones == len(re.findall(PII_PHONE, t))
+        assert r.n_ips == len(re.findall(PII_IPV4, t))
+        red = re.sub(PII_IPV4, "<IP>",
+                     re.sub(PII_PHONE, "<PHONE>",
+                            re.sub(PII_EMAIL, "<EMAIL>", t)))
+        assert r.redacted_md5 == hashlib.md5(red.encode("utf8")).hexdigest()
+        hits += r.n_emails + r.n_phones + r.n_ips
+    assert hits > 0

@@ -398,7 +398,11 @@ QUERIES = {
     "rel_semi_anti_join": (rel_semi_anti_join, REL_SEMI_ANTI_JOIN_SQL),
     "rel_band_join": (rel_band_join, REL_BAND_JOIN_SQL),
     "rel_topk": (rel_topk, REL_TOPK_SQL),
-    "rel_argmax_collect": (rel_argmax_collect, REL_ARGMAX_COLLECT_SQL),
+    # rel_argmax_collect ROTATED OFF the board in round 5 (third
+    # displacement) for text_pii: its operator classes stay demonstrated
+    # on the board — max_by/argmax by web_url_dedup, sorted collect_list
+    # by kg_child_info (pipeline.py child-info SQL).  Function + SQL
+    # remain below for tests/bench.
     # rel_string_distinct ROTATED OFF the board in round 5 (the policy's
     # named first displacement) to make room for text_hygiene; the
     # function + SQL remain below for tests/bench, and its two operator

@@ -285,10 +285,85 @@ TEXT_HYGIENE_SQL = """
 """ % (TEXT_REPETITION_SQL, CORPUS_DECONTAMINATE_SQL)
 
 
+# ----------------------------------------------------------------------
+# round 5: PII detection + redaction
+# ----------------------------------------------------------------------
+
+#: the three detector regexes — deliberately restricted to syntax with
+#: IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB): character
+#: classes, bounded repetition, \b word boundaries; no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: deterministic PII decoration of the test texts (they contain none):
+#: every doc_id gets a variant-keyed suffix carrying known PII, written
+#: identically in Spark SQL and DuckDB SQL — same device as web.py's
+#: synthesized crawl
+_PII_DECOR = (
+    "CASE CAST(doc_id % 5 AS INT)"
+    " WHEN 0 THEN ' contact alice.smith@Example-Mail.com now'"
+    " WHEN 1 THEN concat(' call 415-555-', lpad(CAST(doc_id % 10000 AS"
+    " {str}), 4, '0'), ' today')"
+    " WHEN 2 THEN concat(' server 10.', CAST(doc_id % 256 AS {str}),"
+    " '.0.1 down')"
+    " WHEN 3 THEN concat(' mail bob@corp.example.org or 192.168.1.',"
+    " CAST(doc_id % 200 AS {str}), ' fast')"
+    " ELSE '' END")
+
+
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the standard pretraining redaction pass: count and
+    redact emails, North-American phone numbers, and IPv4 literals.
+    Counts run on the original text; redaction applies the three
+    regexp_replace passes in a fixed order (email, phone, ip) and the
+    md5 of the redacted text pins the full replacement semantics under
+    the driver's hash (both engines' regexp_replace must agree on every
+    byte).  Entirely map-side; at 100 TB this is a free rider on any
+    scan that already reads the text column."""
+    docs = spark.read.parquet(sf_dir + "/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    staged = docs.select(
+        "doc_id",
+        F.expr("concat(text, %s)" % _PII_DECOR.format(str="STRING"))
+         .alias("_t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_t"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IPV4, "<IP>")
+    return staged.select(
+        "doc_id",
+        F.regexp_count("_t", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("_t", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("_t", F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"))
+
+
+TEXT_PII_SQL = r"""
+    WITH staged AS (
+        SELECT doc_id, text || {decor} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{email}', '<EMAIL>', 'g'),
+                  '{phone}', '<PHONE>', 'g'),
+                  '{ip}', '<IP>', 'g')) AS redacted_md5
+    FROM staged
+""".format(decor=_PII_DECOR.format(str="VARCHAR"),
+           # DuckDB string literals are standard SQL: backslashes pass
+           # through verbatim, so the patterns embed unescaped
+           email=PII_EMAIL, phone=PII_PHONE, ip=PII_IPV4)
+
+
 QUERIES = {
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_hygiene": (text_hygiene, TEXT_HYGIENE_SQL),
+    "text_pii": (text_pii, TEXT_PII_SQL),
 }
