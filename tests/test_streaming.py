@@ -221,3 +221,39 @@ def test_streaming_url_frontier(spark, tmp_path):
     assert len(decorated) == 5
     assert all(":443" not in r.canonical_url and "#"
                not in r.canonical_url for r in got)
+
+
+def test_streaming_dedup_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state story executed for real: the same cross-batch
+    dedup under the RocksDB state store provider (bounded executor
+    memory — state lives off-heap/on-disk per executor, the provider a
+    real deployment uses for web-scale key universes).  Output must be
+    identical to the default HDFS-backed in-memory provider."""
+    from xrenner_spark.streaming import read_pages_stream, streaming_dedup
+
+    source = str(tmp_path / "rocks_stream")
+    out = str(tmp_path / "rocks_out")
+    _drop_pages(spark, source, 0, 10)
+    _drop_pages(spark, source, 5, 15)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        stream = read_pages_stream(spark, source, max_files_per_trigger=1)
+        q = (streaming_dedup(stream, ttl_ms=None).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 15
+    assert len({r.content_hash for r in rows}) == 15
