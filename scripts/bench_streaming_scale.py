@@ -91,6 +91,44 @@ def main():
     report["dedup"]["cross_batch_drops"] = int(
         n_pages - report["dedup"]["rows"])
 
+    # url frontier over a REWRITTEN source: every 4 consecutive copies
+    # of a page become 4 raw spellings of ONE logical url (host case,
+    # www., :443, tracking param, trailing slash, fragment), so the
+    # frontier must collapse 4:1 across micro-batch boundaries
+    from xrenner_spark.operators.web import _canon_sql
+    from xrenner_spark.streaming import streaming_url_frontier
+    fsrc = base + "/src_frontier"
+    pages0 = spark.read.parquet(src)
+    k = F.regexp_extract("url", r"/p(\d+)$", 1).cast("long")
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    page = F.concat(F.lit("/p"), (k / 4).cast("long").cast("string"))
+    variant = F.pmod(k, F.lit(4))
+    spelled = (F.when(variant == 0,
+                      F.concat(F.lit("https://"), host, page))
+               .when(variant == 1, F.concat(
+                   F.lit("https://"), F.upper(host), page,
+                   F.lit("?utm_source=feed")))
+               .when(variant == 2, F.concat(
+                   F.lit("https://www."), host, page, F.lit("/#frag")))
+               .otherwise(F.concat(
+                   F.lit("https://"), host, F.lit(":443"), page,
+                   F.lit("?gclid=1"))))
+    (pages0.withColumn("url", spelled)
+     .repartition(max(CORES, 8)).write.mode("overwrite").parquet(fsrc))
+    src_saved = src
+    src = fsrc
+    got = run("url_frontier", streaming_url_frontier)
+    src = src_saved
+    batch_canon = (spark.read.parquet(fsrc)
+                   .select(F.expr(_canon_sql("spark")).alias("c"))
+                   .distinct())
+    n_logical = batch_canon.count()
+    report["url_frontier"]["logical_pages"] = n_logical
+    report["url_frontier"]["keys_match_batch"] = (
+        report["url_frontier"]["rows"] == n_logical
+        and got.select("canonical_url").distinct()
+               .exceptAll(batch_canon).count() == 0)
+
     got = run("domain_cap", lambda p: streaming_domain_cap(p, cap=10))
     by_dom = (got.groupBy(F.regexp_extract("url", r"https://([^/]+)/", 1)
                           .alias("dom")).count())
