@@ -81,15 +81,23 @@ def main():
         t0 = time.time()
         hot = (pages_from_range(spark, hot_mult, CORES)
                .withColumn("doc_id", F.col("doc_id") * 4 + n)
+               # recompute warc_ts from the REWRITTEN doc_id so hot
+               # captures carry unique timestamps (the projection built
+               # them from the pre-rewrite range id)
+               .withColumn("warc_ts",
+                           F.expr("timestamp'2024-01-01 00:00:00' + "
+                                  "make_interval(0, 0, 0, 0, 0, 0, doc_id)"))
                .withColumn("url", F.expr(
                    "'https://WWW.Example.com:443/site/0/"
                    "?b=2&a=1&utm_source=feed#frag'")))
         out = dedup(pages_from_range(spark, n, CORES).unionByName(hot))
+        rows = out.count()
+        wall = time.time() - t0
+        # verification collect OUTSIDE the timed window (the earlier
+        # form re-executed the whole aggregation inside it)
         row0 = (out.filter(F.col("canonical_url")
                            == "https://example.com/site/0?a=1&b=2")
                 .collect())
-        rows = out.count()
-        wall = time.time() - t0
         print("rep%d skewed: +%d captures on one page -> %d pages, hot key"
               " n_captures=%d, in %.1f s (canary %.2f s)"
               % (rep, hot_mult, rows, row0[0].n_captures, wall, c),

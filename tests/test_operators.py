@@ -291,8 +291,9 @@ def _canon_py(url):
     url = url.split("#", 1)[0]
     scheme, _, rest = url.partition("://")
     scheme = scheme.lower()
-    hostport, slash, pathq = rest.partition("/")
-    pathq = slash + pathq if slash else ""
+    # host ends at the first '/' OR '?' (path-less query URLs)
+    hostport = rest.partition("?")[0].partition("/")[0]
+    pathq = rest[len(hostport):]
     host, _, port = hostport.partition(":")
     host = host.lower()
     if host.startswith("www."):
@@ -320,9 +321,13 @@ def test_web_url_dedup_exact(spark):
     for doc_id, (url, ts) in pages.items():
         groups.setdefault(_canon_py(url), []).append((doc_id, url, ts))
     assert set(got) == set(groups)
+    # the recount carries the exact per-group expectation; the constant
+    # only bounds it (a testdata size not divisible by 4 leaves one
+    # smaller group — don't hard-code fullness)
+    assert max(len(m) for m in groups.values()) == CAPTURES_PER_PAGE
     for canon, members in groups.items():
         r = got[canon]
-        assert r.n_captures == len(members) == CAPTURES_PER_PAGE
+        assert r.n_captures == len(members) <= CAPTURES_PER_PAGE
         assert r.first_raw_url == min(u for _d, u, _t in members)
         assert r.latest_doc_id == max(members, key=lambda m: m[2])[0]
         # canonical form erases every variant decoration
@@ -346,11 +351,15 @@ def test_web_canonicalize_random_urls(spark):
     schemes = ["https", "HTTPS", "http", "Http"]
     hosts = ["example.com", "WWW.Example.com", "www.ex-a.B.org", "X.Y",
              "www.www.nested.io"]
-    ports = ["", ":443", ":80", ":8080", ":9"]
+    ports = ["", ":443", ":80", ":8080", ":9", ":1:2"]
     paths = ["", "/", "/a", "/a/b/c", "/a//b/", "/trail///", "/UPPER/Case"]
     queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2",
                "?z&y&x", "?a=1&a=0", "?fbclid=f&gclid=g&utm_a=u",
-               "?key=v%20al&b=2"]
+               "?key=v%20al&b=2",
+               # adversarial: embedded '://', second '?', '?' inside a
+               # param value — remainder (not between-separator)
+               # semantics required (self-review finding)
+               "?u=https://b.com/x", "?a=1&u=b?c", "?x=a//b&utm_source=s"]
     frags = ["", "#", "#frag", "#a#b"]
     urls = ["".join((rng.choice(schemes), "://", rng.choice(hosts),
                      rng.choice(ports), rng.choice(paths),

@@ -321,9 +321,7 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's hash (both engines' regexp_replace must agree on every
     byte).  Entirely map-side; at 100 TB this is a free rider on any
     scan that already reads the text column."""
-    docs = spark.read.parquet(sf_dir + "/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    staged = docs.select(
+    staged = _docs(spark, sf_dir).select(
         "doc_id",
         F.expr("concat(text, %s)" % _PII_DECOR.format(str="STRING"))
          .alias("_t"))

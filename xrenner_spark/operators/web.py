@@ -19,14 +19,23 @@ written twice — Spark column expressions and DuckDB SQL — and the
 driver hash-compares the results, so the contract is pinned by two
 independent string engines, exactly like the other oracle pairs.
 
-Canonicalization contract (deliberately scoped, documented here):
-  1. drop the ``#fragment``;
+Canonicalization contract (deliberately scoped, documented here;
+defined for absolute http(s) URLs):
+  1. drop everything from the FIRST ``#`` (fragment);
   2. lowercase scheme and host;
   3. strip a leading ``www.`` from the host;
   4. drop default ports ``:80`` and ``:443`` (any other port is kept);
   5. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), sort the
      survivors bytewise, rejoin with ``&`` (no ``?`` if none survive);
   6. strip trailing ``/``-runs from the path (root serializes empty).
+All separators use FIRST-OCCURRENCE semantics (the host ends at the
+first ``/`` or ``?``; the query starts at the first ``?`` and may
+itself contain ``?`` or ``://`` — redirect/outlink params are routine
+in real crawls), matching Python's str.partition.  split_part(x, sep,
+2) must NOT be used for "remainder" pieces — it returns only the field
+BETWEEN the first and second separator, silently truncating a query
+like ``?u=https://b.com/x`` (found by self-review; pinned by the
+random-URL differential test's adversarial families).
 
 At 100 TB: canonicalization is map-side (free at any scale); the dedup
 is ONE exchange hashed on canonical_url.  A viral URL with millions of
@@ -92,19 +101,29 @@ _PAGES_SQL = ("""
 
 def _canon_sql(engine: str) -> str:
     """The canonicalization pipeline over a column named ``url``,
-    emitted once per engine with identical semantics.  Both engines'
-    split_part return '' for an out-of-range part and the whole string
-    when the separator is absent, which the contract relies on for
-    fragment-free / query-free / port-free URLs."""
+    emitted once per engine with identical semantics.  split_part(x,
+    sep, 1) is the prefix before the FIRST separator (the whole string
+    when absent) in both engines — but split_part(x, sep, 2) is the
+    field BETWEEN the first and second separator, NOT the remainder,
+    so every remainder piece is substr past the part-1 prefix instead
+    (first-occurrence partition semantics, matching the pure-Python
+    contract implementation; '' falls out naturally when the separator
+    is absent because substr runs past the end)."""
+    def after(expr, sep):
+        return ("substr(%s, length(split_part(%s, '%s', 1)) + %d)"
+                % (expr, expr, sep, len(sep) + 1))
+
     nofrag = "split_part(url, '#', 1)"
     scheme = "lower(split_part(%s, '://', 1))" % nofrag
-    rest = "split_part(%s, '://', 2)" % nofrag
-    hostport = "split_part(%s, '/', 1)" % rest
+    rest = after(nofrag, "://")
+    # host ends at the first '/' OR '?': a path-less 'example.com?a=1'
+    # must not fold its query into the host
+    hostport = "split_part(split_part(%s, '?', 1), '/', 1)" % rest
     host0 = "lower(split_part(%s, ':', 1))" % hostport
-    port = "split_part(%s, ':', 2)" % hostport
+    port = after(hostport, ":")
     pathq = "substr(%s, length(%s) + 1)" % (rest, hostport)
     path = "regexp_replace(split_part(%s, '?', 1), '/+$', '')" % pathq
-    q = "split_part(%s, '?', 2)" % pathq
+    q = after(pathq, "?")
     if engine == "spark":
         # Spark formulation: every normalization is an UNCONDITIONAL
         # regexp over its subtree — no CASE/IF around the deep
