@@ -148,3 +148,38 @@ def test_dedup_kernel_inputs(spark, tmp_path):
     # representative's exact timing value
     assert docs.select("text_sha256", "kernel_ms").distinct().count() == 10
     assert docs_view(kp).select("text_sha256", "kernel_ms").distinct().count() == 30
+
+
+def test_dedup_kernel_inputs_giant_doc(spark, tmp_path):
+    """Interaction pin: kernel-input dedup x giant-doc windowing.  A
+    >500-sentence page (the pipeline windows it) tiled under two urls
+    must produce identical triples in plain and dedup modes — the
+    representative's windowed analysis is a pure function of the
+    payload, so every copy inherits it exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from xrenner_spark.corpus import (_HTML_HEAD, _HTML_MID, _HTML_TAIL,
+                                      build_document)
+    from xrenner_spark.pipeline import docs_view
+
+    parts = [build_document(i) for i in range(100)]
+    text = "\n".join(p["text"] for p in parts)
+    conllu = "\n\n".join(p["conllu"] for p in parts)
+    html = ((_HTML_HEAD % 0) + text + _HTML_MID + conllu + _HTML_TAIL).encode("utf8")
+    rows = [{"url": "https://g.example/copy%d" % k,
+             "warc_ts": pd.Timestamp("2024-01-01"),
+             "html": html, "text": text, "lang": "en"} for k in range(2)]
+    pages = spark.createDataFrame(pd.DataFrame(rows))
+
+    t_plain = run_pipeline(spark, pages, str(tmp_path / "wp"), partitions=2)
+    t_dedup = run_pipeline(spark, pages, str(tmp_path / "wd"), partitions=2,
+                           dedup_kernel_inputs=True)
+    keys = lambda df: sorted((r.url, r.subj, r.pred, r.obj, r.sent_num)
+                             for r in df.collect())
+    kp, kd = keys(t_plain), keys(t_dedup)
+    assert kp == kd and len(kp) > 0
+
+    docs = docs_view(Catalog(spark, str(tmp_path / "wd")).read("stage_kernel"))
+    rec = docs.select("n_sentences", "kernel_ms").distinct().collect()
+    assert len(rec) == 1          # one kernel execution, both copies
+    assert rec[0].n_sentences > 500  # the windowed path actually ran
