@@ -196,8 +196,12 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
                 m["antecedent"] = "%d_%d" % (int(a_start) + delta,
                                              int(a_end) + delta)
             max_group = max(max_group, m["group_id"])
-            m["group_id"] = group_map.get(m["group_id"],
-                                          group_base + m["group_id"])
+            # canonicalize through merges at USE time: group_map values
+            # assigned before a later cross-chain merge may still hold
+            # the merged-away root (r5 advice — silent chain split on
+            # >500-sentence docs otherwise)
+            m["group_id"] = _find(group_map.get(m["group_id"],
+                                                group_base + m["group_id"]))
             prev_group_of_span[m["mark_id"]] = m["group_id"]
             emitted_by_span[m["mark_id"]] = m
             mentions.append(m)

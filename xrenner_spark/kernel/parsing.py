@@ -490,13 +490,21 @@ def find_stop_zones(doc: DocState, tokoffset: int, upto: int,
                     stop_ids[tok1.tid] = True
         if postprocess:
             _affix_stop_reroute(doc, tok1, tokoffset, upto, stop_ids)
-        # a candidate n-gram starting at tok1 begins with tok1's lowered
-        # text (tok.text is pre-stripped), so tokens outside the stop
+        # a candidate n-gram starting at tok1 begins with tok1's FIRST
+        # WORD (a token FORM may legally contain internal spaces in
+        # CoNLL-U), so tokens whose first word is outside the stop
         # list's first-word index can't open a stop zone; empty-text
-        # tokens shift the first word and take the full path
+        # tokens shift the first word and take the full path.  The
+        # split only runs on the rare space-carrying tokens (r5 advice:
+        # gating the whole multi-word text against the first-word index
+        # silently skipped entries like 'new york times')
         t1_text = tok1.text
-        if t1_text and t1_text.lower() not in stop_first:
-            continue
+        if t1_text:
+            first = t1_text.lower()
+            if " " in first:
+                first = first.split(" ", 1)[0]
+            if first not in stop_first:
+                continue
         candidate = ""
         for tok2 in toks[tok1.tid:min(upto + 1, tok1.tid + 4)]:
             candidate += tok2.text + " "

@@ -242,22 +242,27 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str,
             .agg(F.count("*").alias("n_hits")))
 
 
+# generated from DECONTAM_NGRAM so the oracle can NEVER diverge from the
+# Spark side's default n (r5 advice); at n=3 the rendered text is
+# byte-identical to the previous hardcoded form (pinned by
+# test_decontaminate_sql_pinned)
 CORPUS_DECONTAMINATE_SQL = """
     WITH arrs AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x != '') AS a
         FROM documents
     ), grams AS (
-        SELECT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS g
-        FROM arrs, LATERAL (SELECT unnest(range(1, greatest(len(a) - 1, 1))) AS i)
-        WHERE len(a) >= 3
+        SELECT doc_id, array_to_string(list_slice(a, i, i + {hi}), ' ') AS g
+        FROM arrs, LATERAL (SELECT unnest(range(1, greatest(len(a) - {lo}, 1))) AS i)
+        WHERE len(a) >= {n}
     )
     SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
     FROM grams c
     JOIN (SELECT DISTINCT g FROM grams WHERE doc_id %% 97 = 0) e USING (g)
     WHERE c.doc_id %% 97 != 0
     GROUP BY c.doc_id
-""".replace("%%", "%")
+""".format(hi=DECONTAM_NGRAM - 1, lo=DECONTAM_NGRAM - 2,
+           n=DECONTAM_NGRAM).replace("%%", "%")
 
 
 def text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:

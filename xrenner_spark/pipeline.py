@@ -380,8 +380,10 @@ def dedup_kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
     value-identical to the non-dedup path for every mention/verb/doc
     field except the lineage metrics (part_id, kernel_ms — computed
     once, on the representative) and the docname embedded in per-doc
-    ``error`` strings (the representative's url; min-url, so
-    deterministic).  Covered by test_pipeline_spark.
+    ``error`` strings (the payload key itself — deterministic, and
+    unique even when one url appears with two different payloads, the
+    re-crawled-page case that a url-keyed join-back would cross-match;
+    r5 advice).  Covered by test_pipeline_spark.
     """
     from pyspark.sql import Window
 
@@ -393,11 +395,15 @@ def dedup_kernel_stage(extracted: DataFrame, lex_broadcast) -> DataFrame:
     w = Window.partitionBy("payload_key").orderBy("url")
     reps = (keyed.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
-    rep_rows = kernel_stage(reps.drop("payload_key"), lex_broadcast)
-    rep_map = reps.select(F.col("url").alias("_rep_url"), "payload_key")
-    rep_rows_keyed = (rep_rows.withColumnRenamed("url", "_rep_url")
-                      .join(rep_map, "_rep_url")
-                      .drop("_rep_url", "warc_ts", "lang"))
+    # the kernel runs with payload_key AS the docname: the join-back is
+    # then keyed on payload_key directly (unique per representative by
+    # construction) instead of the representative's url, which is NOT
+    # unique across payload groups when a url re-appears with changed
+    # content
+    rep_in = reps.withColumn("url", F.col("payload_key")).drop("payload_key")
+    rep_rows = kernel_stage(rep_in, lex_broadcast)
+    rep_rows_keyed = (rep_rows.withColumnRenamed("url", "payload_key")
+                      .drop("warc_ts", "lang"))
     copies = keyed.select("payload_key", "url", "warc_ts", "lang")
     return (rep_rows_keyed.join(copies, "payload_key")
             .select(*_KERNEL_COLS))
