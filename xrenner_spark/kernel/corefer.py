@@ -66,11 +66,16 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
         if cand not in candidates:
             candidates.append(cand)
 
+    # the scan bound and the markable-side attribute chains are loop
+    # invariants; candidate-side chains are localized once per iteration
+    # (r6 — pure renames, the ladder itself is untouched)
+    min_snum = m_sent_num - max_dist
     scan = previous_markables if lookahead else reversed(previous_markables)
     for candidate in scan:
-        if m_sent_num - candidate.sentence.sent_num <= max_dist:
-            direction_ok = ((m_head_tid > candidate.head.tid and not lookahead)
-                            or (m_head_tid < candidate.head.tid and lookahead))
+        if candidate.sentence.sent_num >= min_snum:
+            c_head = candidate.head
+            direction_ok = ((m_head_tid > c_head.tid and not lookahead)
+                            or (m_head_tid < c_head.tid and lookahead))
             if not direction_ok:
                 continue
             if candidate.group in non_ante_groups:
@@ -78,6 +83,7 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
             if not ante_matcher(candidate, lex, doc, markable):
                 continue
             if not no_overlap or not markables_overlap(markable, candidate, lex):
+                c_text = candidate.text
                 if is_pronoun:
                     if agree_compatible(markable, candidate, lex) or \
                             (anyagree
@@ -86,10 +92,10 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
                                 cardinality_compatible(markable, candidate):
                             if speaker_compatible(markable, candidate, previous_markables):
                                 add(candidate)
-                elif m_text == candidate.text or \
-                        (len(m_text) > 4 and candidate.text.lower() == m_text.lower()):
+                elif m_text == c_text or \
+                        (len(m_text) > 4 and c_text.lower() == m_text.lower()):
                     add(candidate)
-                elif m_text + "|" + candidate.text in coref_table and \
+                elif m_text + "|" + c_text in coref_table and \
                         entities_compatible(markable, candidate, lex) and \
                         agree_compatible(markable, candidate, lex):
                     add(candidate)
@@ -99,14 +105,14 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
                     add(candidate)
                 elif m_entity == candidate.entity and \
                         agree_compatible(markable, candidate, lex) and \
-                        (m_head_text == candidate.head.text
+                        (m_head_text == c_head.text
                          or (len(m_head_text) > 3
-                             and candidate.head.text.lower() == m_head_text.lower())
+                             and c_head.text.lower() == m_head_text.lower())
                          or (m_core_text.count(" ") > 2
                              and m_core_text.lower() == candidate.core_text.lower())
-                         or (m_head_lemma == candidate.head.lemma
+                         or (m_head_lemma == c_head.lemma
                              and lemma_match_pos.match(markable.head.pos) is not None
-                             and lemma_match_pos.match(candidate.head.pos) is not None)):
+                             and lemma_match_pos.match(c_head.pos) is not None)):
                     if modifiers_compatible(markable, candidate, lex, doc) and \
                             modifiers_compatible(candidate, markable, lex, doc):
                         add(candidate)
@@ -116,10 +122,10 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
                     candidate.isa = True
                     add(candidate)
                 elif agree_compatible(markable, candidate, lex) and \
-                        (m_head_text == candidate.head.text
-                         or (m_head_lemma == candidate.head.lemma
+                        (m_head_text == c_head.text
+                         or (m_head_lemma == c_head.lemma
                              and lemma_match_pos.match(markable.head.pos) is not None
-                             and lemma_match_pos.match(candidate.head.pos) is not None)):
+                             and lemma_match_pos.match(c_head.pos) is not None)):
                     if merge_entities(markable, candidate, previous_markables, lex, doc):
                         add(candidate)
                 elif entities_compatible(markable, candidate, lex) and \
@@ -128,7 +134,7 @@ def search_prev_markables(markable: Markable, doc: DocState, lex, rule) -> Optio
                         candidate.isa = True
                         add(candidate)
             elif (f["match_acronyms"] and m_head_text.isupper()) \
-                    or candidate.head.text.isupper():
+                    or c_head.text.isupper():
                 if acronym_match(markable, candidate, lex) or \
                         acronym_match(candidate, markable, lex):
                     if modifiers_compatible(markable, candidate, lex, doc) and \

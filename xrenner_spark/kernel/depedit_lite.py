@@ -172,12 +172,33 @@ class _Criterion:
                 return lambda tok: getval(tok) != exact
             return lambda tok: getval(tok) == exact
         search = self.rx.search
+        # regex criteria run per (token, rule-node) over a heavily
+        # repeating vocabulary (POS tags, functions, frequent words) —
+        # memoize per value string, bounded like lex.CachedPattern (r6).
+        # Match objects are immutable, so returning the memoized object
+        # is transparent to group consumers.
         if negative:
-            return lambda tok: search(getval(tok)) is None
+            def neg_matcher(tok, _memo={}):
+                v = getval(tok)
+                try:
+                    return _memo[v]
+                except KeyError:
+                    r = search(v) is None
+                    if len(_memo) < 32768:
+                        _memo[v] = r
+                    return r
+            return neg_matcher
 
-        def matcher(tok):
-            m = search(getval(tok))
-            return m if m is not None else False
+        def matcher(tok, _memo={}):
+            v = getval(tok)
+            try:
+                return _memo[v]
+            except KeyError:
+                m = search(v)
+                r = m if m is not None else False
+                if len(_memo) < 32768:
+                    _memo[v] = r
+                return r
         return matcher
 
     def __getstate__(self):

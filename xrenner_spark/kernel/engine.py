@@ -19,6 +19,7 @@ from .corefer import antecedent_prohibited, find_antecedent
 from .entities import analyze_markable, assign_coordinate_entity
 from .mentions import (is_atomic, make_markable, pos_func_combo,
                        recognize_entity_by_mod, stoplist_prefix_tokens)
+from .postprocess import postprocess_coref
 
 
 def _block_token_count(block: str) -> int:
@@ -218,14 +219,19 @@ def analyze_document_windowed(doc_id: str, conllu_text: str, lex,
 class DocResult:
     """Kernel output for one document."""
 
-    __slots__ = ("doc_id", "tokens", "mentions", "n_sentences", "n_tokens",
+    __slots__ = ("doc_id", "_tokens", "mentions", "n_sentences", "n_tokens",
                  "dump_rows", "dump_headers", "boundary_state",
                  "retro_spans")
 
     def __init__(self, doc_id, tokens, mentions, n_sentences, n_tokens,
                  dump_rows=None, dump_headers=None):
         self.doc_id = doc_id
-        self.tokens = tokens        # list of dict rows
+        # list of dict rows, or a zero-arg thunk building them on demand:
+        # the Spark fused stage consumes only mentions/verbs, so the
+        # token-row dicts (one per token, ~7 fields) are never built for
+        # it (r6 — the serializers and the windowed stitcher, which do
+        # read .tokens, materialize lazily and idempotently)
+        self._tokens = tokens
         self.mentions = mentions    # list of dict rows
         self.n_sentences = n_sentences
         self.n_tokens = n_tokens
@@ -238,6 +244,16 @@ class DocResult:
         # windowed path only: local mention span -> highest start position
         # of a mention whose propagation mutated it after resolution
         self.retro_spans = None
+
+    @property
+    def tokens(self):
+        if callable(self._tokens):
+            self._tokens = self._tokens()
+        return self._tokens
+
+    @tokens.setter
+    def tokens(self, value):
+        self._tokens = value
 
 
 def analyze_document(doc_id: str, conllu_text: str, lex,
@@ -289,7 +305,6 @@ def analyze_document(doc_id: str, conllu_text: str, lex,
         doc.markables_by_head[str(mark.head.tid)] = mark
         doc.markables.append(mark)
 
-    from .postprocess import postprocess_coref
     postprocess_coref(doc)
 
     result = _serialize(doc_id, doc)
@@ -399,16 +414,21 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
 
     # atomicity: atomic spans suppress nested candidates
     # (reference xrenner_xrenner.py:616-637)
+    # the key set is stable during this loop (keys_to_pop only accumulates),
+    # so the str->int key conversions hoist out of the per-mark scan
+    simple_keys = [(key, int(key)) for key in mark_candidates
+                   if "_" not in key]
+    pronoun_pos_match = f["pronoun_pos"].match
     for mark_id, mark in mark_candidates.items():
         if mark.end > mark.start:
             mod_hit = recognize_entity_by_mod(mark, lex, True)
             mod_atomic = mod_hit is not None and mod_hit[2]
             if is_atomic(mark, lex) or (mod_atomic and "_" not in mark_id):
                 head_key = str(mark.head.tid)
-                for key in mark_candidates:
-                    if key != head_key and "_" not in key \
-                            and mark.start <= int(key) <= mark.end:
-                        if f["pronoun_pos"].match(toks[int(key)].pos) is None:
+                m_start, m_end = mark.start, mark.end
+                for key, ikey in simple_keys:
+                    if key != head_key and m_start <= ikey <= m_end:
+                        if pronoun_pos_match(toks[ikey].pos) is None:
                             keys_to_pop.append(key)
             elif mod_hit is not None:
                 stoplist_prefix_tokens(mark, lex.entity_mods, keys_to_pop)
@@ -418,18 +438,26 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
     for key in keys_to_pop:
         mark_candidates.pop(str(key), None)
 
-    # classify and register markables
+    # classify and register markables.  The surviving candidate object is
+    # promoted IN PLACE (r6): the former re-construction copied every
+    # field verbatim except the five below — id/group (fresh counters),
+    # infstat (already "new" from make_markable), and the three
+    # text-shape fields the constructor derives, which were stale on the
+    # candidate (computed before span extension / the core-text
+    # fixpoint) and are re-derived here exactly as the constructor would
     processed_marks = len(doc.markables)
     for mark_id, cand in mark_candidates.items():
         analyze_markable(cand, doc)
         doc.markcounter += 1
         doc.groupcounter += 1
-        markable = Markable(
-            doc.markcounter, cand.head, cand.form, cand.definiteness, cand.start,
-            cand.end, cand.text, cand.core_text, cand.entity, cand.entity_certainty,
-            cand.subclass, "new", cand.agree, cand.sentence, None, "none",
-            doc.groupcounter, cand.alt_entities, cand.alt_subclasses, cand.alt_agree,
-            cand.cardinality, cand.submarks, cand.coordinate, cand.agree_certainty)
+        markable = cand
+        markable.id = doc.markcounter
+        markable.group = doc.groupcounter
+        core = markable.core_text
+        markable.first = core.partition(" ")[0]
+        markable.last = core.rpartition(" ")[2]
+        markable.length = markable.text.count(" ") + 1
+        markable.mod_count = len(markable.head.modifiers)
         markable.fill_dep_scores(lex, doc)
         doc.markables.append(markable)
         doc.markables_by_head[mark_id] = markable
@@ -483,15 +511,14 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
 # ----------------------------------------------------------------------
 
 def _serialize(doc_id: str, doc: DocState) -> DocResult:
-    token_rows = []
-    for tok in doc.tokens[1:]:
-        token_rows.append({
+    def token_rows():
+        return [{
             "doc_id": doc_id, "tid": tok.tid, "text": tok.text,
             "lemma": tok.lemma, "pos": tok.pos, "morph": tok.morph,
             "head": tok.head, "func": tok.func,
             "sent_num": tok.sentence.sent_num, "quoted": tok.quoted,
             "negated": tok.negated,
-        })
+        } for tok in doc.tokens[1:]]
     def ref_id(mark):
         """Reference-style markable id: verbal pseudo-markables are keyed
         by head token id (xrenner_xrenner.py:255), apposition envelopes

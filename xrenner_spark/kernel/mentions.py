@@ -21,8 +21,10 @@ from .classes import DocState, Markable, Sentence, Token
 def remove_prefix_tokens(marktext: str, lex) -> str:
     if lex.filters["core_prefixes"].match(marktext):
         return lex.filters["core_prefixes"].sub(" ", marktext)
+    # a candidate prefix of k words can only match a k-word affix key, so
+    # the walk stops at the longest key (r6; identical return values)
     prefix = ""
-    for token in marktext.split(" "):
+    for token in marktext.split(" ")[:lex.affix_max_words()]:
         prefix += token + " "
         if prefix.strip() in lex.affix_tokens and lex.affix_tokens[prefix.strip()] == "prefix":
             return re.sub(r"^" + re.escape(prefix), "", marktext)
@@ -33,7 +35,10 @@ def remove_suffix_tokens(marktext: str, lex) -> str:
     if lex.filters["core_suffixes"].search(marktext):
         return lex.filters["core_suffixes"].sub(" ", marktext)
     suffix = ""
-    for token in reversed(marktext.split(" ")):
+    words = marktext.split(" ")
+    max_words = lex.affix_max_words()
+    for token in reversed(words[len(words) - max_words:] if max_words < len(words)
+                          else words):
         suffix = token + " " + suffix
         if suffix.strip() in lex.affix_tokens and lex.affix_tokens[suffix.strip()] == "prefix":
             return re.sub(re.escape(suffix) + r"$", "", marktext)
@@ -195,8 +200,13 @@ def markable_extend_affixes(start: int, end: int, doc: DocState,
                             sent_start: int, upto: int) -> List[int]:
     """Find an adjacent affix-token window to absorb (xrenner_marker.py:650-669)."""
     lex = doc.lex
+    # accumulation bounded by the longest affix key in words (r6): a
+    # k-token candidate can only match a k-word key, and the original
+    # loops only ever match or break within that bound
+    max_words = lex.affix_max_words()
     candidate = ""
-    for tok in reversed(doc.tokens[sent_start:start]):
+    lo = max(sent_start, start - max_words)
+    for tok in reversed(doc.tokens[lo:start]):
         candidate = tok.text + " " + candidate
         for probe in (candidate.lower().strip(), candidate.strip()):
             if probe in lex.affix_tokens:
@@ -204,7 +214,7 @@ def markable_extend_affixes(start: int, end: int, doc: DocState,
                     return [tok.tid, tok.tid + candidate.count(" ")]
                 break
     candidate = ""
-    for tok in doc.tokens[end + 1:upto + 1]:
+    for tok in doc.tokens[end + 1:min(upto, end + max_words) + 1]:
         candidate += tok.text + " "
         for probe in (candidate.lower().strip(), candidate.strip()):
             if probe in lex.affix_tokens:

@@ -33,8 +33,6 @@ def read_document(conllu_text: str, lex, seed_state=None,
     clean = conllu_text.replace("\r", "")
     lines = clean.split("\n")
 
-    doc.token_count = len([ln for ln in lines if not (ln.startswith("#") or len(ln) == 0)])
-
     sent_num = 1
     tokoffset = 0
     sentlength = 0
@@ -52,27 +50,6 @@ def read_document(conllu_text: str, lex, seed_state=None,
     lemmas: List[str] = []
     s_texts: List[str] = []
 
-    # sentence surface strings (used for speaker/oracle contexts); token
-    # lines are split once here and the columns reused by the main loop
-    # below (identical line content -> identical split)
-    col_cache: Dict[str, List[str]] = {}
-    for block in clean.strip().split("\n\n"):
-        words: List[str] = []
-        for ln in block.split("\n"):
-            if "\t" not in ln:
-                continue
-            cols = ln.split("\t")
-            col_cache[ln] = cols
-            if "-" not in cols[0]:
-                words.append(cols[1])
-                lemmas.append(cols[2])
-        s_texts.append(" ".join(words))
-
-    # sequence-label all tokens before reading sentences (reference
-    # xrenner_xrenner.py:159-163; flat list indexed by global id - 1)
-    seq_preds = lex.sequencer.predict_proba(s_texts) \
-        if lex.sequencer is not None else None
-
     # memoized-regex matchers hoisted out of the per-line loop
     open_quote_match = f["open_quote"].match
     close_quote_match = f["close_quote"].match
@@ -82,17 +59,49 @@ def read_document(conllu_text: str, lex, seed_state=None,
     func_subs_fwd = lex.func_substitutes_forward
     func_subs_bwd = lex.func_substitutes_backward
 
+    # ONE merged pass (r6: the former first pass re-iterated every line to
+    # build sentence surface strings and a line->columns cache; the cache
+    # cost two full-line string hashes per token line).  Sentence surface
+    # strings align with "\n\n" BLOCKS, not with the sentence-boundary
+    # branch below — a run of g consecutive empty lines splits into
+    # (g+1)//2 block boundaries, i.e. (g+1)//2 - 1 EMPTY blocks, exactly
+    # like str.split("\n\n") on the stripped text; sequencer predictions
+    # (which need the surface strings) are assigned onto tokens after the
+    # loop — nothing reads tok.seq_pred during parsing.
+    token_count = 0
+    words: List[str] = []
+    block_started = False
+    pending_gap = 0
+
     for line in lines:
+        tabpos = line.find("\t")
+        if line:
+            if not line.startswith("#"):
+                token_count += 1
+            if block_started and pending_gap:
+                s_texts.append(" ".join(words))
+                del words[:]
+                for _ in range(((pending_gap + 1) // 2) - 1):
+                    s_texts.append("")
+            pending_gap = 0
+            block_started = True
+            if tabpos >= 0:
+                # surface words / raw lemmas: every tab-bearing line with
+                # a non-range id contributes (incl. ellipsis ids and the
+                # degenerate leading-tab case, which is NOT a token line)
+                cols = line.split("\t")
+                if "-" not in cols[0]:
+                    words.append(cols[1])
+                    lemmas.append(cols[2])
+        elif block_started:
+            pending_gap += 1
         if line.startswith("#") and "speaker" in line and "=" in line:
             current.speaker = line.split("=")[1].strip()
             doc.use_speaker_rules = True
         elif line.startswith("#") and "s_type" in line and "=" in line:
             current.s_type = line.split("=")[1].strip()
-        elif line.find("\t") > 0:
+        elif tabpos > 0:
             current.token_count += 1
-            cols = col_cache.get(line)
-            if cols is None:
-                cols = line.split("\t")
             if "." in cols[0] or "-" in cols[0]:  # multiword/ellipsis ids
                 continue
             text = cols[1]
@@ -124,8 +133,6 @@ def read_document(conllu_text: str, lex, seed_state=None,
                 morph = lex.process_morph(morph)
             tok = Token(tid, text, lemma, pos, morph, head, tok_func, current,
                         quoted, cols[8], cols[9])
-            if seq_preds is not None:
-                tok.seq_pred = seq_preds[tid - 1]
             doc.tokens.append(tok)
             sentlength += 1
             # children only via span-linking functions (markable propagation)
@@ -156,10 +163,22 @@ def read_document(conllu_text: str, lex, seed_state=None,
     if sentlength > 0:
         current.length = sentlength
         doc.sentences.append(current)
+    if block_started:
+        s_texts.append(" ".join(words))
+
+    doc.token_count = token_count  # non-comment lines (incl. skipped ids)
+
+    # sequence-label all tokens (reference xrenner_xrenner.py:159-163;
+    # flat list indexed by global id - 1).  Assigned after the parse loop
+    # — nothing reads tok.seq_pred during parsing, so this is equivalent
+    # to the former predict-first ordering.
+    if lex.sequencer is not None:
+        seq_preds = lex.sequencer.predict_proba(s_texts)
+        for tok in doc.tokens[1:]:
+            tok.seq_pred = seq_preds[tok.tid - 1]
 
     # per-document lemma frequencies over the raw lemma column
     token_total = float(len(lemmas))
-    doc.token_count = doc.token_count  # total non-comment lines (incl. skipped ids)
     counts: Dict[str, int] = {}
     for lemma in lemmas:
         counts[lemma] = counts.get(lemma, 0) + 1
@@ -192,16 +211,25 @@ def add_child_info(doc: DocState, upto: int):
     if upto <= frontier:
         return
     doc.child_info_frontier = upto
-    for child_id, funcs in doc.child_funcs.items():
-        if child_id > upto or child_id <= frontier:
+    # iterate the NEW id range directly instead of scanning the whole
+    # child_funcs dict each sentence (r6 — the dict holds every id in the
+    # document, so the former scan was quadratic in sentence count; ids
+    # outside (frontier, upto] were skipped there, exactly this range,
+    # and per-id processing is independent so order cannot matter)
+    child_funcs_map = doc.child_funcs
+    child_strings_map = doc.child_strings
+    toks = doc.tokens
+    for child_id in range(frontier + 1, upto + 1):
+        funcs = child_funcs_map.get(child_id)
+        if funcs is None:
             continue
-        tok = doc.tokens[child_id]
+        tok = toks[child_id]
         for func in funcs:
             if func not in tok.child_funcs:
                 tok.child_funcs.append(func)
                 if neg_re.match(func):
                     tok.negated = True
-        for text in doc.child_strings.get(child_id, []):
+        for text in child_strings_map.get(child_id, []):
             if text not in tok.child_strings:
                 tok.child_strings.append(text)
 

@@ -223,6 +223,20 @@ class LexModel:
             self.__dict__["_stop_first"] = cached
         return cached
 
+    def affix_max_words(self) -> int:
+        """Longest affix-token entry in WORDS (lazily derived, like
+        stop_first_words).  A candidate prefix/suffix longer than this can
+        never be an affix_tokens key, so the accumulation loops in
+        mentions.py stop after this many tokens instead of walking the
+        whole span/sentence (r6 — pure derived cache, no semantic
+        content)."""
+        cached = self.__dict__.get("_affix_max_words")
+        if cached is None:
+            cached = max((entry.count(" ") + 1 for entry in self.affix_tokens),
+                         default=0)
+            self.__dict__["_affix_max_words"] = cached
+        return cached
+
     def lemmatize(self, text: str, pos: str) -> str:
         """Fallback lemmatizer from lemma_rules + auto_lower_lemma policy
         (reference xrenner_lex.py:436-456)."""
