@@ -80,17 +80,31 @@ def _n_bits(n_vecs: int) -> int:
     return bits
 
 
+def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count from the parquet FOOTER — the round-4 advice
+    fix: counting the quantized plan executed the scan + quantization
+    twice per operator call (once for the count, once for the real
+    job).  Footer metadata is exact and driver-side; a non-parquet
+    layout falls back to one count() on the RAW scan (no quantization
+    recompute)."""
+    return parquet_rows(sf_dir + "/embeddings.parquet",
+                        fallback_df=spark.read.parquet(
+                            sf_dir + "/embeddings.parquet"))
+
+
 def _corpus_bits(spark: SparkSession, sf_dir: str) -> int:
-    """Adaptive bit width from the parquet FOOTER row count — the
-    round-4 advice fix: counting the quantized plan executed the scan +
-    quantization twice per operator call (once for the count, once for
-    the real job).  Footer metadata is exact and driver-side; a
-    non-parquet layout falls back to one count() on the RAW scan (no
-    quantization recompute)."""
-    n = parquet_rows(sf_dir + "/embeddings.parquet",
-                     fallback_df=spark.read.parquet(
-                         sf_dir + "/embeddings.parquet"))
-    return _n_bits(n)
+    return _n_bits(_corpus_size(spark, sf_dir))
+
+
+def _n_subgroups(n_vecs: int) -> int:
+    """Spark-group coarsening for the bucket scorers (r6): per-group
+    applyInPandas machinery (arrow round trip + pandas frame build per
+    group) measured ~0.2 ms/group — at TARGET_BUCKET occupancy that is
+    2 s of pure overhead per million vectors.  Buckets are therefore
+    packed ~(n_vecs/8192)-ways per table via pmod(bucket, n_sub) and
+    looped inside the function with a pandas groupby; group payload
+    stays bounded at ~8k rows regardless of corpus size."""
+    return max(32, min(4096, -(-n_vecs // 8192)))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,6 +115,13 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a, b):
+    """Exact int64 dot product of two EMB_DIM array columns.
+
+    Kept as the zip_with/aggregate fold on MEASURED grounds (r6): a flat
+    64-term getItem sum — the 'codegen beats interpreted HOF' hypothesis
+    — ran 3x SLOWER on the 200k-row bruteforce scoring (1.09 s vs
+    3.23 s interleaved A/B at sf1.0); 128 per-row array accessors cost
+    more than one interpreted fold over the pair array."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
@@ -176,7 +197,7 @@ def _bucketed(vecs: DataFrame, n_bits: int) -> DataFrame:
     powers = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
     schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
-        T.StructField("q", T.ArrayType(T.LongType())),
+        T.StructField("q", T.BinaryType()),
         T.StructField("buckets", T.ArrayType(T.LongType())),
     ])
 
@@ -185,10 +206,22 @@ def _bucketed(vecs: DataFrame, n_bits: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             M = np.array(pdf["q"].tolist(), dtype=np.int64)
+            if M.size and abs(M).max() > 32767:
+                raise ValueError(
+                    "_bucketed int16 packing contract violated: a "
+                    "quantized component exceeds 32767 (|x| > ~32.7 "
+                    "before the x1000 quantization) — widen the packed "
+                    "dtype in _bucketed/_unpack_q")
             bits = (M @ bank >= 0).astype(np.int64)
             buckets = bits.reshape(len(pdf), N_TABLES, n_bits) @ powers
+            # the posexplode below duplicates q into every per-table row
+            # before the bucket shuffle; packing the 64 int64s as 128
+            # bytes of little-endian int16 (values are |x*1000|, far
+            # inside int16) shrinks those shuffle rows ~4x (r6).  The
+            # scorers unpack and compute in int64, identical integers.
+            packed = [row.tobytes() for row in M.astype("<i2")]
             yield pd.DataFrame({"vec_id": pdf["vec_id"].values,
-                                "q": pdf["q"].values,
+                                "q": packed,
                                 "buckets": list(buckets)})
 
     return (vecs.select("vec_id", "q").mapInPandas(run, schema=schema)
@@ -197,8 +230,35 @@ def _bucketed(vecs: DataFrame, n_bits: int) -> DataFrame:
             .withColumnRenamed("col", "bucket"))
 
 
+def _grouped_apply(bucketed: DataFrame, run_bucket, schema,
+                   n_sub: "int | None") -> DataFrame:
+    """groupBy(table_id, bucket).applyInPandas(run_bucket), optionally
+    COARSENED: with ``n_sub`` set, Spark groups on (table_id,
+    pmod(bucket, n_sub)) and a pandas groupby loops the real buckets
+    inside one call — identical output multiset, ~n_buckets/n_sub fewer
+    arrow round trips (see _n_subgroups)."""
+    import pandas as pd
+
+    if n_sub is None:
+        return (bucketed.groupBy("table_id", "bucket")
+                .applyInPandas(run_bucket, schema))
+
+    cols = [f.name for f in schema.fields]
+
+    def run(pdf):
+        outs = [run_bucket(g) for _, g in pdf.groupby("bucket", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(outs, ignore_index=True)
+
+    sub = bucketed.withColumn("_sub", F.pmod("bucket", F.lit(n_sub)))
+    return sub.groupBy("table_id", "_sub").applyInPandas(run, schema)
+
+
 def _score_buckets(bucketed: DataFrame, with_norms: bool = False,
-                   cos_gate: "tuple[int, int] | None" = None) -> DataFrame:
+                   cos_gate: "tuple[int, int] | None" = None,
+                   n_sub: "int | None" = None) -> DataFrame:
     """Per-(table, bucket) exact pair scoring: one int64 GEMM per group
     (k x k from k x 64), emitting the strict upper triangle
     (vec_a < vec_b, each unordered pair once per table).  The size
@@ -239,7 +299,8 @@ def _score_buckets(bucketed: DataFrame, with_norms: bool = False,
             return pd.DataFrame({c: [] for c in cols})
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
-        M = np.array(pdf["q"].tolist(), dtype=np.int64)
+        M = np.frombuffer(b"".join(pdf["q"].tolist()),
+                          dtype="<i2").reshape(k, -1).astype(np.int64)
         S = M @ M.T
         i, j = np.triu_indices(k, 1)
         out = {"vec_a": ids[i], "vec_b": ids[j], "score": S[i, j]}
@@ -255,10 +316,11 @@ def _score_buckets(bucketed: DataFrame, with_norms: bool = False,
                 out = {c: v[keep] for c, v in out.items()}
         return pd.DataFrame(out)
 
-    return bucketed.groupBy("table_id", "bucket").applyInPandas(run, schema)
+    return _grouped_apply(bucketed, run, schema, n_sub)
 
 
-def _score_buckets_topk(bucketed: DataFrame, top_k: int) -> DataFrame:
+def _score_buckets_topk(bucketed: DataFrame, top_k: int,
+                        n_sub: "int | None" = None) -> DataFrame:
     """Per-(table, bucket) DIRECTED local top-k edges (query_id,
     neighbor_id, score) via one int64 Gram GEMM per group.
 
@@ -289,7 +351,8 @@ def _score_buckets_topk(bucketed: DataFrame, top_k: int) -> DataFrame:
                                  "score": []})
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
-        M = np.array(pdf["q"].tolist(), dtype=np.int64)
+        M = np.frombuffer(b"".join(pdf["q"].tolist()),
+                          dtype="<i2").reshape(k, -1).astype(np.int64)
         S = M @ M.T
         np.fill_diagonal(S, -(2 ** 62))  # self never wins
         order = np.argsort(-S, axis=1, kind="stable")[:, :min(top_k, k - 1)]
@@ -299,7 +362,7 @@ def _score_buckets_topk(bucketed: DataFrame, top_k: int) -> DataFrame:
         sc = np.take_along_axis(S, order, axis=1).ravel()
         return pd.DataFrame({"query_id": qi, "neighbor_id": ni, "score": sc})
 
-    return bucketed.groupBy("table_id", "bucket").applyInPandas(run, schema)
+    return _grouped_apply(bucketed, run, schema, n_sub)
 
 
 def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,18 +381,32 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     would shuffle -- at 10^12 rows the join sides dwarf the signature
     fan-out."""
     vecs = _quantized(spark, sf_dir)
-    n_bits = _corpus_bits(spark, sf_dir)
-    directed = _score_buckets_topk(_bucketed(vecs, n_bits), TOP_K)
-    # the same (query, neighbor) edge surfaces from every shared table
-    # with an identical exact score: one pair-keyed dedupe
-    uniq = (directed.groupBy("query_id", "neighbor_id")
-            .agg(F.min("score").alias("score")))
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc())
-    return (uniq.withColumn("rank", F.row_number().over(win))
-            .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "neighbor_id", "score",
-                    F.col("rank").cast("long").alias("rank")))
+    n_vecs = _corpus_size(spark, sf_dir)
+    n_bits = _n_bits(n_vecs)
+    directed = _score_buckets_topk(_bucketed(vecs, n_bits), TOP_K,
+                                   n_sub=_n_subgroups(n_vecs))
+    # ONE query-keyed exchange finishes the job (r6; formerly a
+    # pair-keyed dedupe exchange THEN a query-keyed window exchange):
+    # per query at most N_TABLES * TOP_K directed edges arrive, the same
+    # (query, neighbor) edge carrying an identical exact score from
+    # every shared table — so array_distinct IS the pair dedupe, and the
+    # comparator sort + slice reproduce the old window's
+    # (score DESC, neighbor ASC) row_number <= K exactly, on <= 54
+    # elements per row (interpreted-HOF OK regime).
+    edges = (directed.groupBy("query_id")
+             .agg(F.collect_list(F.struct("neighbor_id", "score"))
+                  .alias("es")))
+    top = edges.select("query_id", F.expr(
+        "slice(array_sort(array_distinct(es), (a, b) -> "
+        "CASE WHEN a.score > b.score THEN -1 "
+        "WHEN a.score < b.score THEN 1 "
+        "WHEN a.neighbor_id < b.neighbor_id THEN -1 "
+        "WHEN a.neighbor_id > b.neighbor_id THEN 1 ELSE 0 END), "
+        "1, %d)" % TOP_K).alias("top"))
+    return (top.select("query_id", F.posexplode("top"))
+            .select("query_id", F.col("col.neighbor_id").alias("neighbor_id"),
+                    F.col("col.score").alias("score"),
+                    (F.col("pos") + 1).cast("long").alias("rank")))
 
 
 def _bucket_sql_expr(table: int) -> str:
@@ -411,9 +488,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket triangle (~400M rows at 1M vectors, measured
     non-completing) never materializes."""
     vecs = _quantized(spark, sf_dir)
-    n_bits = _corpus_bits(spark, sf_dir)
+    n_vecs = _corpus_size(spark, sf_dir)
+    n_bits = _n_bits(n_vecs)
     pairs = _score_buckets(_bucketed(vecs, n_bits), with_norms=True,
-                           cos_gate=(COS_T2_NUM, COS_T2_DEN))
+                           cos_gate=(COS_T2_NUM, COS_T2_DEN),
+                           n_sub=_n_subgroups(n_vecs))
     return (pairs.groupBy("vec_a", "vec_b")
             .agg(F.min("score").alias("dot"))
             .select("vec_a", "vec_b", "dot"))

@@ -180,17 +180,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition score: the fraction of
     duplicate word 3-grams, as an exact integer permille (single integer
     division — hashes identically in DuckDB).  Entirely map-side: the
-    n-gram bank never leaves the row."""
+    n-gram bank never leaves the row.
+
+    Executed as a mapInPandas position (r6): the higher-order-function
+    bank runs INTERPRETED per element (CLAUDE.md), and counting dup
+    3-grams per row in CPython (C-level split/set) measured 2.5x faster
+    at 50k docs (1.57 s -> 0.63 s interleaved A/B) with bit-identical
+    integers — guide §4.2's batch-native-work regime.  Still no shuffle;
+    only (doc_id, text) crosses the boundary."""
+    from pyspark.sql import types as T
+
     docs = _docs(spark, sf_dir)
-    out = _ngram_frame(docs, 3).select(
-        "doc_id",
-        F.size("grams").cast("long").alias("n_ngrams"),
-        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"))
-    dup = F.expr("CASE WHEN n_ngrams > 0 THEN "
-                 "(n_ngrams - n_distinct) * 1000 DIV n_ngrams "
-                 "ELSE 0 END")
-    return out.select("doc_id", "n_ngrams", "n_distinct",
-                      dup.cast("long").alias("dup_permille"))
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("n_ngrams", T.LongType()),
+                           T.StructField("n_distinct", T.LongType()),
+                           T.StructField("dup_permille", T.LongType())])
+
+    def run(it):
+        import pandas as pd
+        for pdf in it:
+            ids, nn, nd, dp = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = [x for x in text.split(" ") if x != ""]
+                n = len(w) - 2 if len(w) >= 3 else 0
+                if n > 0:
+                    d = len({" ".join(w[i:i + 3]) for i in range(n)})
+                    p = (n - d) * 1000 // n
+                else:
+                    d = 0
+                    p = 0
+                ids.append(doc_id)
+                nn.append(n)
+                nd.append(d)
+                dp.append(p)
+            yield pd.DataFrame({"doc_id": ids, "n_ngrams": nn,
+                                "n_distinct": nd, "dup_permille": dp})
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema)
 
 
 TEXT_REPETITION_SQL = """
