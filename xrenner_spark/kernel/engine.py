@@ -355,11 +355,6 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
     forbidden_func_match = f["mark_forbidden_func"].match
     pos_func_heads = f["pos_func_heads"]
 
-    def is_head_candidate(tok):
-        return ((head_pos_match(tok.pos) is not None
-                 and forbidden_func_match(tok.func) is None)
-                or pos_func_combo(tok.pos, tok.func, pos_func_heads))
-
     def is_eligible_submark_head(tok):
         return (head_pos_match(tok.pos) is not None
                 and forbidden_func_match(tok.func) is None)
@@ -368,7 +363,12 @@ def _process_sentence(doc: DocState, tokoffset: int, sentence):
     keys_to_pop: List = []
 
     for tok in toks[tokoffset + 1:upto + 1]:
-        if not (is_head_candidate(tok) and not stop_ids[tok.tid]):
+        # is_head_candidate inlined in this per-token loop (r6): same
+        # predicate, one closure call fewer per token
+        if not ((head_pos_match(tok.pos) is not None
+                 and forbidden_func_match(tok.func) is None)
+                or pos_func_combo(tok.pos, tok.func, pos_func_heads)) \
+                or stop_ids[tok.tid]:
             continue
         mark = make_markable(tok, doc, descendants, tokoffset, sentence,
                              keys_to_pop, upto)

@@ -73,6 +73,14 @@ def read_document(conllu_text: str, lex, seed_state=None,
     block_started = False
     pending_gap = 0
 
+    # hot-loop local bindings (r6): the three per-token dict registrations
+    # ran through setdefault, which allocates a fresh empty-list argument
+    # per call; the get-or-create form below does not
+    doc_tokens_append = doc.tokens.append
+    children = doc.children
+    child_funcs_acc = doc.child_funcs
+    child_strings_acc = doc.child_strings
+
     for line in lines:
         tabpos = line.find("\t")
         if line:
@@ -133,18 +141,30 @@ def read_document(conllu_text: str, lex, seed_state=None,
                 morph = lex.process_morph(morph)
             tok = Token(tid, text, lemma, pos, morph, head, tok_func, current,
                         quoted, cols[8], cols[9])
-            doc.tokens.append(tok)
+            doc_tokens_append(tok)
             sentlength += 1
             # children only via span-linking functions (markable propagation)
             if not (non_link_func_match(tok_func) is not None
                     or non_link_tok_match(text) is not None):
                 if cols[6] != "0":
-                    doc.children.setdefault(head, []).append(tid)
+                    lst = children.get(head)
+                    if lst is None:
+                        children[head] = [tid]
+                    else:
+                        lst.append(tid)
             # func/string accumulation keys on raw head+offset, like the
             # reference (root funcs land on the offset token — kept as-is)
             raw_head_key = ihead + tokoffset
-            doc.child_funcs.setdefault(raw_head_key, []).append(tok_func)
-            doc.child_strings.setdefault(raw_head_key, []).append(text)
+            lst = child_funcs_acc.get(raw_head_key)
+            if lst is None:
+                child_funcs_acc[raw_head_key] = [tok_func]
+            else:
+                lst.append(tok_func)
+            lst = child_strings_acc.get(raw_head_key)
+            if lst is None:
+                child_strings_acc[raw_head_key] = [text]
+            else:
+                lst.append(text)
         elif sentlength > 0:
             sent_num += 1
             tokoffset += sentlength
