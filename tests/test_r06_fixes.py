@@ -77,3 +77,56 @@ def test_dedup_kernel_recrawled_url(spark, tmp_path):
     # url across BOTH payload groups; payload_key keying must not
     assert len(rows_p) == len(rows_d)
     assert rows_p == rows_d
+
+
+def test_whitespace_only_edge_lines_block_alignment():
+    """clean.strip() emulation: leading/trailing whitespace-only lines
+    must not open blocks or shift sentence surface strings (r6 review
+    fix; differential fuzz vs the round-start parser: 0/20,000 docs
+    mismatch, scripts/fuzz_read_document.py)."""
+    body = ("1\tHe\the\tPRON\tPRON\t_\t2\tnsubj\t_\t_\n"
+            "2\tliked\tlike\tVERB\tVERB\t_\t0\troot\t_\t_\n"
+            "3\tit\tit\tPRON\tPRON\t_\t2\tobj\t_\t_\n")
+    lex = load_lex()
+    plain = analyze_document("a", body, lex)
+    # ' ' then blank before the sentence: stripped away entirely by the
+    # old two-pass reader; the merged reader must align identically
+    junked = analyze_document("b", " \n\n" + body + "\n \n", lex)
+    assert [m["mark_id"] for m in plain.mentions] == \
+        [m["mark_id"] for m in junked.mentions]
+    assert plain.n_sentences == junked.n_sentences == 1
+
+
+def test_empty_form_token_does_not_break_affix_extension():
+    """An empty-FORM token adjacent to a markable must not consume the
+    affix walk's word budget: 'Acme < > & Co.' still absorbs the
+    '& Co.' suffix (r6 review fix; the bound counts words, not
+    tokens)."""
+    doc = ("1\tAcme\tAcme\tPROPN\tPROPN\t_\t0\troot\t_\t_\n"
+           "2\t \t \tX\tX\t_\t1\tpunct\t_\t_\n"
+           "3\t&\t&\tCCONJ\tCCONJ\t_\t1\tcc\t_\t_\n"
+           "4\tCo.\tCo.\tPROPN\tPROPN\t_\t1\tflat\t_\t_\n"
+           "5\texpanded\texpand\tVERB\tVERB\t_\t1\tdep\t_\t_\n")
+    r = analyze_document("t", doc, load_lex())
+    spans = {m["mark_id"] for m in r.mentions}
+    assert "1_4" in spans, spans  # suffix absorbed, span covers 'Co.'
+
+
+def test_simhash_chunked_accumulation_identical(spark):
+    """The giant-page chunking path must produce the same signature as
+    the single-pass arithmetic (CHUNK boundary forced below it)."""
+    import pandas as pd
+    from xrenner_spark.operators import dedup as D
+    text = " ".join("w%d" % (i % 997) for i in range(70000))  # > CHUNK
+    docs = spark.createDataFrame(pd.DataFrame(
+        [{"doc_id": 1, "text": text}, {"doc_id": 2, "text": "alpha beta"}]))
+    out = {r.doc_id: r.simhash16
+           for r in D._simhash(docs, 16, "simhash16").collect()}
+    # independent recount in pure python
+    import hashlib
+    for doc_id, t in ((1, text), (2, "alpha beta")):
+        hs = [int(hashlib.md5(w.encode("utf8")).hexdigest()[:15], 16)
+              for w in t.split(" ") if w != ""]
+        expect = sum(1 << b for b in range(16)
+                     if sum(((h >> b) & 1) * 2 - 1 for h in hs) > 0)
+        assert out[doc_id] == expect

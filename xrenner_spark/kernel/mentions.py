@@ -21,11 +21,20 @@ from .classes import DocState, Markable, Sentence, Token
 def remove_prefix_tokens(marktext: str, lex) -> str:
     if lex.filters["core_prefixes"].match(marktext):
         return lex.filters["core_prefixes"].sub(" ", marktext)
-    # a candidate prefix of k words can only match a k-word affix key, so
-    # the walk stops at the longest key (r6; identical return values)
+    # a candidate prefix of k WORDS can only match a k-word affix key, so
+    # the walk stops past the longest key (r6; identical return values).
+    # The bound counts non-empty words, not split items — split(" ")
+    # yields empty items on doubled spaces and they must not consume the
+    # budget (r6 review fix)
     prefix = ""
-    for token in marktext.split(" ")[:lex.affix_max_words()]:
+    wc = 0
+    max_words = lex.affix_max_words()
+    for token in marktext.split(" "):
         prefix += token + " "
+        if token:
+            wc += 1
+            if wc > max_words:
+                break
         if prefix.strip() in lex.affix_tokens and lex.affix_tokens[prefix.strip()] == "prefix":
             return re.sub(r"^" + re.escape(prefix), "", marktext)
     return marktext
@@ -35,11 +44,14 @@ def remove_suffix_tokens(marktext: str, lex) -> str:
     if lex.filters["core_suffixes"].search(marktext):
         return lex.filters["core_suffixes"].sub(" ", marktext)
     suffix = ""
-    words = marktext.split(" ")
+    wc = 0
     max_words = lex.affix_max_words()
-    for token in reversed(words[len(words) - max_words:] if max_words < len(words)
-                          else words):
+    for token in reversed(marktext.split(" ")):
         suffix = token + " " + suffix
+        if token:
+            wc += 1
+            if wc > max_words:
+                break
         if suffix.strip() in lex.affix_tokens and lex.affix_tokens[suffix.strip()] == "prefix":
             return re.sub(re.escape(suffix) + r"$", "", marktext)
     return marktext
@@ -200,22 +212,32 @@ def markable_extend_affixes(start: int, end: int, doc: DocState,
                             sent_start: int, upto: int) -> List[int]:
     """Find an adjacent affix-token window to absorb (xrenner_marker.py:650-669)."""
     lex = doc.lex
-    # accumulation bounded by the longest affix key in words (r6): a
-    # k-token candidate can only match a k-word key, and the original
-    # loops only ever match or break within that bound
+    # accumulation bounded by the longest affix key in WORDS (r6): a
+    # candidate holding more words than the longest key can never match,
+    # and the word count only grows.  The bound counts words, not
+    # tokens — an empty-FORM token adjacent to the span consumes a loop
+    # step without adding a word, so a token-window slice missed keys
+    # sitting just past it (r6 review fix; reference walks unbounded)
     max_words = lex.affix_max_words()
     candidate = ""
-    lo = max(sent_start, start - max_words)
-    for tok in reversed(doc.tokens[lo:start]):
+    wc = 0
+    for tok in reversed(doc.tokens[sent_start:start]):
         candidate = tok.text + " " + candidate
+        wc += len(tok.text.split())
+        if wc > max_words:
+            break
         for probe in (candidate.lower().strip(), candidate.strip()):
             if probe in lex.affix_tokens:
                 if lex.affix_tokens[probe] == "prefix":
                     return [tok.tid, tok.tid + candidate.count(" ")]
                 break
     candidate = ""
-    for tok in doc.tokens[end + 1:min(upto, end + max_words) + 1]:
+    wc = 0
+    for tok in doc.tokens[end + 1:upto + 1]:
         candidate += tok.text + " "
+        wc += len(tok.text.split())
+        if wc > max_words:
+            break
         for probe in (candidate.lower().strip(), candidate.strip()):
             if probe in lex.affix_tokens:
                 if lex.affix_tokens[probe] == "suffix":

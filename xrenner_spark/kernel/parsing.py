@@ -73,6 +73,22 @@ def read_document(conllu_text: str, lex, seed_state=None,
     block_started = False
     pending_gap = 0
 
+    # emulate clean.strip(): fully-whitespace lines at the DOCUMENT EDGES
+    # are removed (with their newlines) before the "\n\n" block split, so
+    # they must not open blocks or count toward gaps — r6 review fix; a
+    # whitespace-only line BETWEEN content lines survives strip() and
+    # stays block content (the existing non-empty-line path).  Sentence
+    # logic below still sees every original line, as before.
+    n_lines = len(lines)
+    first_content = 0
+    while first_content < n_lines and (lines[first_content] == ""
+                                       or lines[first_content].isspace()):
+        first_content += 1
+    last_content = n_lines - 1
+    while last_content >= first_content and (lines[last_content] == ""
+                                             or lines[last_content].isspace()):
+        last_content -= 1
+
     # hot-loop local bindings (r6): the three per-token dict registrations
     # ran through setdefault, which allocates a fresh empty-list argument
     # per call; the get-or-create form below does not
@@ -81,27 +97,29 @@ def read_document(conllu_text: str, lex, seed_state=None,
     child_funcs_acc = doc.child_funcs
     child_strings_acc = doc.child_strings
 
-    for line in lines:
+    for lineno, line in enumerate(lines):
         tabpos = line.find("\t")
         if line:
             if not line.startswith("#"):
                 token_count += 1
-            if block_started and pending_gap:
-                s_texts.append(" ".join(words))
-                del words[:]
-                for _ in range(((pending_gap + 1) // 2) - 1):
-                    s_texts.append("")
-            pending_gap = 0
-            block_started = True
-            if tabpos >= 0:
-                # surface words / raw lemmas: every tab-bearing line with
-                # a non-range id contributes (incl. ellipsis ids and the
-                # degenerate leading-tab case, which is NOT a token line)
-                cols = line.split("\t")
-                if "-" not in cols[0]:
-                    words.append(cols[1])
-                    lemmas.append(cols[2])
-        elif block_started:
+            if first_content <= lineno <= last_content:
+                if block_started and pending_gap:
+                    s_texts.append(" ".join(words))
+                    del words[:]
+                    for _ in range(((pending_gap + 1) // 2) - 1):
+                        s_texts.append("")
+                pending_gap = 0
+                block_started = True
+                if tabpos >= 0:
+                    # surface words / raw lemmas: every tab-bearing line
+                    # with a non-range id contributes (incl. ellipsis ids
+                    # and the degenerate leading-tab case, which is NOT a
+                    # token line)
+                    cols = line.split("\t")
+                    if "-" not in cols[0]:
+                        words.append(cols[1])
+                        lemmas.append(cols[2])
+        elif block_started and lineno <= last_content:
             pending_gap += 1
         if line.startswith("#") and "speaker" in line and "=" in line:
             current.speaker = line.split("=")[1].strip()
@@ -109,6 +127,11 @@ def read_document(conllu_text: str, lex, seed_state=None,
         elif line.startswith("#") and "s_type" in line and "=" in line:
             current.s_type = line.split("=")[1].strip()
         elif tabpos > 0:
+            if not (first_content <= lineno <= last_content):
+                # whitespace-only edge line carrying a tab: the words
+                # branch above did not run, so split here (the old code
+                # fell back to the same split on a cache miss)
+                cols = line.split("\t")
             current.token_count += 1
             if "." in cols[0] or "-" in cols[0]:  # multiword/ellipsis ids
                 continue

@@ -241,6 +241,12 @@ def _simhash(docs: DataFrame, n_bits: int, out_col: str) -> DataFrame:
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField(out_col, T.LongType())])
 
+    #: giant-page guard: the per-doc bit matrix is built in word chunks so
+    #: a pathological multi-million-word page costs O(CHUNK x n_bits)
+    #: memory, not O(words x n_bits) — integer sums are associative, so
+    #: chunked accumulation is bit-identical (r6 review fix)
+    CHUNK = 65536
+
     def run(it):
         import hashlib
         import numpy as np
@@ -253,11 +259,13 @@ def _simhash(docs: DataFrame, n_bits: int, out_col: str) -> DataFrame:
                 w = [x for x in text.split(" ") if x != ""]
                 if not w:
                     continue  # the explode+groupBy form emitted no row
-                hs = np.array(
-                    [int(hashlib.md5(x.encode("utf8")).hexdigest()[:15], 16)
-                     for x in w], dtype=np.int64)
-                sums = (2 * ((hs[:, None] >> shifts[None, :]) & 1) - 1) \
-                    .sum(axis=0)
+                sums = np.zeros(n_bits, dtype=np.int64)
+                for lo in range(0, len(w), CHUNK):
+                    hs = np.array(
+                        [int(hashlib.md5(x.encode("utf8")).hexdigest()[:15],
+                             16) for x in w[lo:lo + CHUNK]], dtype=np.int64)
+                    sums += (2 * ((hs[:, None] >> shifts[None, :]) & 1) - 1) \
+                        .sum(axis=0)
                 ids.append(doc_id)
                 sims.append(int((powers * (sums > 0)).sum()))
             yield pd.DataFrame({"doc_id": ids, out_col: sims})

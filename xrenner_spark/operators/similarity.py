@@ -211,7 +211,8 @@ def _bucketed(vecs: DataFrame, n_bits: int) -> DataFrame:
                     "_bucketed int16 packing contract violated: a "
                     "quantized component exceeds 32767 (|x| > ~32.7 "
                     "before the x1000 quantization) — widen the packed "
-                    "dtype in _bucketed/_unpack_q")
+                    "dtype here and in the np.frombuffer unpacks in "
+                    "_score_buckets/_score_buckets_topk")
             bits = (M @ bank >= 0).astype(np.int64)
             buckets = bits.reshape(len(pdf), N_TABLES, n_bits) @ powers
             # the posexplode below duplicates q into every per-table row
