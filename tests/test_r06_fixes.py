@@ -130,3 +130,35 @@ def test_simhash_chunked_accumulation_identical(spark):
         expect = sum(1 << b for b in range(16)
                      if sum(((h >> b) & 1) * 2 - 1 for h in hs) > 0)
         assert out[doc_id] == expect
+
+
+def test_corpus_render_memo_byte_identical():
+    """r6 generator memoization: each sentence template's rendered
+    (conllu, text) is memoized on its pick key.  Gate 1: rebuilding with
+    a cold memo yields the same bytes as the warm-memo path (fresh vs
+    memoized renders agree).  Gate 2: the first 500 documents hash to the
+    round-start corpus fingerprint (any drift in draws, keys, or render
+    bodies changes every downstream oracle)."""
+    import hashlib as _hl
+
+    from xrenner_spark import corpus
+
+    warm = [corpus.build_document(i) for i in range(500)]
+    assert len(corpus._RENDER_MEMO) > 0
+    saved = dict(corpus._RENDER_MEMO)
+    try:
+        corpus._RENDER_MEMO.clear()
+        cold = [corpus.build_document(i) for i in range(500)]
+    finally:
+        corpus._RENDER_MEMO.update(saved)
+    assert cold == warm
+
+    h = _hl.md5()
+    for d in warm:
+        h.update(d["conllu"].encode())
+        h.update(b"\x00")
+        h.update(d["text"].encode())
+        h.update(b"\x00")
+    # round-start (pre-memo) fingerprint, computed from the unmodified
+    # generator over doc_ids 0..499
+    assert h.hexdigest() == "2dfd6d947cffc6e932ec072523388b3a"

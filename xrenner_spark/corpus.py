@@ -23,9 +23,13 @@ from typing import Dict, List, Optional, Tuple
 # deterministic PRNG
 # ---------------------------------------------------------------------
 
+_md5 = hashlib.md5
+_from_bytes = int.from_bytes
+
+
 def _h(*parts) -> int:
-    key = "\x1f".join(str(p) for p in parts)
-    return int.from_bytes(hashlib.md5(key.encode("utf8")).digest()[:8], "big")
+    return _from_bytes(
+        _md5("\x1f".join(map(str, parts)).encode("utf8")).digest()[:8], "big")
 
 
 def _pick(seq, *salts):
@@ -163,72 +167,106 @@ def _finish(sb: _SentBuilder, verb_local: int):
 
 
 # ---------------------------------------------------------------------
-# sentence templates; each returns (builder, state-updates)
+# sentence templates; each returns a rendered (conllu, text) pair
 # ---------------------------------------------------------------------
+# r6: each template's rendered output is fully determined by a handful of
+# small-cardinality picks (every inventory above is <= 12 entries), so the
+# row building + conllu/text string assembly is memoized per worker on the
+# pick key — same pattern as lex.CachedPattern ("each worker re-warms its
+# own memo").  The _h draws are untouched (md5 is stateless; each draw
+# depends only on its own key parts), so every pick — and therefore every
+# emitted byte — is identical to the unmemoized form; the differential
+# gate is test_corpus_render_memo + scripts/diff harness (500k doc_ids,
+# byte-equal).  Total key space is < 10k short strings.
 
-def _sent_person_intro(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
+_RENDER_MEMO: Dict[tuple, Tuple[str, str]] = {}
+
+
+def _rendered(key, build) -> Tuple[str, str]:
+    r = _RENDER_MEMO.get(key)
+    if r is None:
+        sb = build()
+        r = (sb.conllu(), " ".join(sb.words()))
+        _RENDER_MEMO[key] = r
+    return r
+
+
+def _sent_person_intro(state, seed) -> Tuple[str, str]:
     person = _pick(PERSONS, seed, "p")
     verb, vlemma = _pick(TRANS_VERBS, seed, "v")
     common = _pick(COMMONS, seed, "c")
-    sb.add_np(_np_person(*person), "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    sb.add_np(_np_common("a", common, 0), "obj")
-    _finish(sb, v)
     state["person"] = person
     state["common"] = common
     state["verb"] = (verb, vlemma)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add_np(_np_person(*person), "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        sb.add_np(_np_common("a", common, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("pi", person, verb, common), build)
 
 
-def _sent_org_intro(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
-    org, kind = _pick(ORGS, seed, "o")
+def _sent_org_intro(state, seed) -> Tuple[str, str]:
+    oi = _h(seed, "o") % len(ORGS)
+    org, kind = ORGS[oi]
     verb, vlemma = _pick(TRANS_VERBS, seed, "v2")
     common = _pick(COMMONS, seed, "c2")
-    sb.add_np(_np_multiword(org, 0), "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    sb.add_np(_np_common("a", common, 0), "obj")
-    _finish(sb, v)
     state["org"] = (org, kind)
     state["common2"] = common
     state["verb2"] = (verb, vlemma)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add_np(_np_multiword(org, 0), "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        sb.add_np(_np_common("a", common, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("oi", oi, verb, common), build)
 
 
-def _sent_place_visit(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
-    place, kind = _pick(PLACES, seed, "pl")
+def _sent_place_visit(state, seed) -> Tuple[str, str]:
+    pli = _h(seed, "pl") % len(PLACES)
+    place, kind = PLACES[pli]
     person = state.get("person") or _pick(PERSONS, seed, "p2")
-    sb.add_np(_np_person(*person), "nsubj")
-    v = sb.add("visited", "visit", "VERB", "_", 0, "root")
-    sb.add_np(_np_multiword(place, 0), "obj")
-    _finish(sb, v)
     state["person"] = person
     state["place"] = (place, kind)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add_np(_np_person(*person), "nsubj")
+        v = sb.add("visited", "visit", "VERB", "_", 0, "root")
+        sb.add_np(_np_multiword(place, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("pv", person, pli), build)
 
 
-def _sent_pronoun_def(state, seed) -> _SentBuilder:
+def _sent_pronoun_def(state, seed) -> Tuple[str, str]:
     """Pronoun subject (matching last person/org) + definite re-mention."""
-    sb = _SentBuilder()
     verb, vlemma = _pick(TRANS_VERBS, seed, "v3")
     if state.get("person") is not None and _h(seed, "who") % 2 == 0:
         pron = "She" if state["person"][2] == "Fem" else "He"
         plemma = pron.lower()
     else:
         pron, plemma = "It", "it"
-    sb.add(pron, plemma, "PRON", "_", "@VERB", "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
     common = state.get("common") or state.get("common2") or _pick(COMMONS, seed, "c3")
-    sb.add_np(_np_common("the", common, 0), "obj")
-    _finish(sb, v)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add(pron, plemma, "PRON", "_", "@VERB", "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        sb.add_np(_np_common("the", common, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("pd", pron, verb, common), build)
 
 
-def _sent_isa_mention(state, seed) -> _SentBuilder:
+def _sent_isa_mention(state, seed) -> Tuple[str, str]:
     """Definite common noun matching the subclass of an introduced entity."""
-    sb = _SentBuilder()
     kind = None
     if state.get("place") is not None:
         kind = state["place"][1]
@@ -237,14 +275,17 @@ def _sent_isa_mention(state, seed) -> _SentBuilder:
     noun = kind if kind in ("city", "country", "company", "organization") else \
         _pick(COMMONS, seed, "c4")
     verb, vlemma = _pick(INTRANS_VERBS, seed, "v4")
-    sb.add_np(_np_common("The", noun, 0), "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    _finish(sb, v)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add_np(_np_common("The", noun, 0), "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        _finish(sb, v)
+        return sb
+    return _rendered(("isa", noun, verb), build)
 
 
-def _sent_possessive(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
+def _sent_possessive(state, seed) -> Tuple[str, str]:
     if state.get("person") is not None and _h(seed, "pg") % 2 == 0:
         pron = "Her" if state["person"][2] == "Fem" else "His"
         plemma = pron.lower()
@@ -252,141 +293,180 @@ def _sent_possessive(state, seed) -> _SentBuilder:
         pron, plemma = "Its", "its"
     possessed = _pick(POSSESSEDS, seed, "ps")
     verb, vlemma = _pick(INTRANS_VERBS, seed, "v5")
-    sb.add(pron, plemma, "PRON", "_", 2, "nmod:poss")
-    sb.add(possessed, _lemma_of(possessed), "NOUN",
-           "Number=Plur" if possessed.endswith("s") else "_", "@VERB", "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    _finish(sb, v)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add(pron, plemma, "PRON", "_", 2, "nmod:poss")
+        sb.add(possessed, _lemma_of(possessed), "NOUN",
+               "Number=Plur" if possessed.endswith("s") else "_", "@VERB", "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        _finish(sb, v)
+        return sb
+    return _rendered(("poss", pron, possessed, verb), build)
 
 
-def _sent_apposition(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
+def _sent_apposition(state, seed) -> Tuple[str, str]:
     person = _pick(PERSONS, seed, "p3")
     role = _pick(ROLES, seed, "r")
     verb, vlemma = _pick(TRANS_VERBS, seed, "v6")
     common = _pick(COMMONS, seed, "c5")
-    head = sb.add_np(_np_person(*person), "nsubj")
-    sb.add(",", ",", "PUNCT", "_", head, "punct")
-    appos_base = len(sb.rows)
-    sb.add("a", "a", "DET", "_", appos_base + 2, "det")
-    sb.add(role, role, "NOUN", "_", head, "appos")
-    sb.add(",", ",", "PUNCT", "_", appos_base + 2, "punct")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    sb.add_np(_np_common("the", common, 0), "obj")
-    _finish(sb, v)
     state["person"] = person
     state["role"] = role
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        head = sb.add_np(_np_person(*person), "nsubj")
+        sb.add(",", ",", "PUNCT", "_", head, "punct")
+        appos_base = len(sb.rows)
+        sb.add("a", "a", "DET", "_", appos_base + 2, "det")
+        sb.add(role, role, "NOUN", "_", head, "appos")
+        sb.add(",", ",", "PUNCT", "_", appos_base + 2, "punct")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        sb.add_np(_np_common("the", common, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("ap", person, role, verb, common), build)
 
 
-def _sent_coordination(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
-    n1 = _pick(["company", "university", "team", "government"], seed, "n1")
-    n2 = _pick(["committee", "bank", "city", "country"], seed, "n2")
+_COORD_N1 = ["company", "university", "team", "government"]
+_COORD_N2 = ["committee", "bank", "city", "country"]
+
+
+def _sent_coordination(state, seed) -> Tuple[str, str]:
+    n1 = _pick(_COORD_N1, seed, "n1")
+    n2 = _pick(_COORD_N2, seed, "n2")
     verb, vlemma = _pick(TRANS_VERBS, seed, "v7")
     common = _pick(COMMONS, seed, "c6")
-    sb.add("The", "the", "DET", "_", 2, "det")
-    h1 = sb.add(n1, n1, "NOUN", "_", "@VERB", "nsubj")
-    sb.add("and", "and", "CCONJ", "_", 5, "cc")
-    sb.add("the", "the", "DET", "_", 5, "det")
-    sb.add(n2, n2, "NOUN", "_", h1, "conj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    sb.add_np(_np_common("a", common, 0), "obj")
-    _finish(sb, v)
     state["common2"] = common
     state["plural_subject"] = True
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add("The", "the", "DET", "_", 2, "det")
+        h1 = sb.add(n1, n1, "NOUN", "_", "@VERB", "nsubj")
+        sb.add("and", "and", "CCONJ", "_", 5, "cc")
+        sb.add("the", "the", "DET", "_", 5, "det")
+        sb.add(n2, n2, "NOUN", "_", h1, "conj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        sb.add_np(_np_common("a", common, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("co", n1, n2, verb, common), build)
 
 
-def _sent_they(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
+def _sent_they(state, seed) -> Tuple[str, str]:
     verb, vlemma = _pick(TRANS_VERBS, seed, "v8")
     common = state.get("common2") or _pick(COMMONS, seed, "c7")
-    sb.add("They", "they", "PRON", "_", "@VERB", "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    sb.add_np(_np_common("the", common, 0), "obj")
-    _finish(sb, v)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add("They", "they", "PRON", "_", "@VERB", "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        sb.add_np(_np_common("the", common, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("th", verb, common), build)
 
 
-def _sent_nominalization(state, seed) -> _SentBuilder:
+_NOMINALIZATIONS = {"announce": "announcement", "win": "victory",
+                    "propose": "proposal", "sign": "decision"}
+
+
+def _sent_nominalization(state, seed) -> Tuple[str, str]:
     """'announced …' then 'The announcement …' (verbal-event antecedent)."""
-    sb = _SentBuilder()
-    noun = {"announce": "announcement", "win": "victory", "propose": "proposal",
-            "sign": "decision"}.get(state.get("verb2", ("", ""))[1], "announcement")
+    noun = _NOMINALIZATIONS.get(state.get("verb2", ("", ""))[1], "announcement")
     verb, vlemma = _pick(INTRANS_VERBS, seed, "v9")
-    sb.add("The", "the", "DET", "_", 2, "det")
-    sb.add(noun, noun, "NOUN", "_", "@VERB", "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    _finish(sb, v)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add("The", "the", "DET", "_", 2, "det")
+        sb.add(noun, noun, "NOUN", "_", "@VERB", "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        _finish(sb, v)
+        return sb
+    return _rendered(("nom", noun, verb), build)
 
 
-def _sent_quantity(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
+def _sent_quantity(state, seed) -> Tuple[str, str]:
     num_t, num_l = _pick(NUM_WORDS, seed, "q")
-    place, kind = _pick(PLACES, seed, "pl2")
-    sb.add(num_t, num_l, "NUM", "_", 2, "nummod")
-    sb.add("ships", "ship", "NOUN", "Number=Plur", "@VERB", "nsubj")
-    v = sb.add("crossed", "cross", "VERB", "_", 0, "root")
-    sb.add_np(_np_multiword(place, 0), "obj")
-    _finish(sb, v)
+    pli = _h(seed, "pl2") % len(PLACES)
+    place, kind = PLACES[pli]
     state["num"] = (num_t, num_l)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add(num_t, num_l, "NUM", "_", 2, "nummod")
+        sb.add("ships", "ship", "NOUN", "Number=Plur", "@VERB", "nsubj")
+        v = sb.add("crossed", "cross", "VERB", "_", 0, "root")
+        sb.add_np(_np_multiword(place, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("q", num_t, pli), build)
 
 
-def _sent_us_intro(state, seed) -> _SentBuilder:
+def _sent_us_intro(state, seed) -> Tuple[str, str]:
     """Introduce 'the United States' so a later mention can hit the
     hard-wired coref table ('the US|the United States')."""
-    sb = _SentBuilder()
     common = _pick(COMMONS, seed, "c8")
-    sb.add_np(_np_common("The", common, 0), "nsubj")
-    v = sb.add("pleased", "please", "VERB", "_", 0, "root")
-    sb.add_np(_np_multiword(["the", "United", "States"], 0), "obj")
-    _finish(sb, v)
     state["us_intro"] = True
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add_np(_np_common("The", common, 0), "nsubj")
+        v = sb.add("pleased", "please", "VERB", "_", 0, "root")
+        sb.add_np(_np_multiword(["the", "United", "States"], 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("usi", common), build)
 
 
-def _sent_us_coref(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
+def _sent_us_coref(state, seed) -> Tuple[str, str]:
     if not state.get("us_intro"):
         return _sent_pronoun_def(state, seed)
-    sb.add("Many", "many", "ADJ", "_", 2, "amod")
-    sb.add("leaders", "leader", "NOUN", "Number=Plur", "@VERB", "nsubj")
-    v = sb.add("praised", "praise", "VERB", "_", 0, "root")
-    sb.add_np(_np_multiword(["the", "US"], 0), "obj")
-    _finish(sb, v)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add("Many", "many", "ADJ", "_", 2, "amod")
+        sb.add("leaders", "leader", "NOUN", "Number=Plur", "@VERB", "nsubj")
+        v = sb.add("praised", "praise", "VERB", "_", 0, "root")
+        sb.add_np(_np_multiword(["the", "US"], 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("usc",), build)
 
 
-def _sent_reflexive(state, seed) -> _SentBuilder:
+def _sent_reflexive(state, seed) -> Tuple[str, str]:
     """Reflexive object binding to the clause subject (rule 2)."""
-    sb = _SentBuilder()
     person = state.get("person") or _pick(PERSONS, seed, "p4")
-    refl = "herself" if person[2] == "Fem" else "himself"
-    sb.add_np(_np_person(*person), "nsubj")
-    v = sb.add("praised", "praise", "VERB", "_", 0, "root")
-    sb.add(refl, refl, "PRON", "_", v, "obj")
-    _finish(sb, v)
     state["person"] = person
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        refl = "herself" if person[2] == "Fem" else "himself"
+        sb.add_np(_np_person(*person), "nsubj")
+        v = sb.add("praised", "praise", "VERB", "_", 0, "root")
+        sb.add(refl, refl, "PRON", "_", v, "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("rf", person), build)
 
 
-def _sent_cataphoric_pronoun(state, seed) -> _SentBuilder:
+def _sent_cataphoric_pronoun(state, seed) -> Tuple[str, str]:
     """Sentence-initial pronoun whose referent only appears later
     (exercises the lookahead/cataphora rule)."""
-    sb = _SentBuilder()
     person = _pick(PERSONS, seed, "p5")
     pron = "She" if person[2] == "Fem" else "He"
     verb, vlemma = _pick(INTRANS_VERBS, seed, "v11")
-    sb.add(pron, pron.lower(), "PRON", "_", "@VERB", "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    _finish(sb, v)
     state["person"] = person
     state["need_person_intro"] = True
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add(pron, pron.lower(), "PRON", "_", "@VERB", "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        _finish(sb, v)
+        return sb
+    return _rendered(("ca", pron, verb), build)
 
 
 _OPENERS = [_sent_person_intro, _sent_org_intro, _sent_place_visit,
@@ -398,15 +478,18 @@ _FOLLOWERS = [_sent_pronoun_def, _sent_isa_mention, _sent_possessive,
               _sent_reflexive]
 
 
-def _sent_first_person(state, seed) -> _SentBuilder:
-    sb = _SentBuilder()
+def _sent_first_person(state, seed) -> Tuple[str, str]:
     verb, vlemma = _pick(TRANS_VERBS, seed, "v10")
     common = _pick(COMMONS, seed, "c9")
-    sb.add("I", "I", "PRON", "_", "@VERB", "nsubj")
-    v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
-    sb.add_np(_np_common("the", common, 0), "obj")
-    _finish(sb, v)
-    return sb
+
+    def build():
+        sb = _SentBuilder()
+        sb.add("I", "I", "PRON", "_", "@VERB", "nsubj")
+        v = sb.add(verb, vlemma, "VERB", "_", 0, "root")
+        sb.add_np(_np_common("the", common, 0), "obj")
+        _finish(sb, v)
+        return sb
+    return _rendered(("fp", verb, common), build)
 
 
 def build_document(doc_id: int) -> Dict[str, str]:
@@ -420,13 +503,13 @@ def build_document(doc_id: int) -> Dict[str, str]:
     parses: List[str] = []
     texts: List[str] = []
 
-    def emit(sb: _SentBuilder, i: int):
-        parse = sb.conllu()
+    def emit(rendered: Tuple[str, str], i: int):
+        parse, text = rendered
         if dialogue:
             speaker = speakers[_h(doc_id, "spk", i) % 3 % 2]  # Mary-biased
             parse = "# speaker=%s\n" % speaker + parse
         parses.append(parse)
-        texts.append(" ".join(sb.words()))
+        texts.append(text)
 
     opener = _pick(_OPENERS, doc_id, "open")
     emit(opener(state, _h(doc_id, 0)), 0)
